@@ -1,0 +1,238 @@
+"""Snapshot-table layer: Iceberg-style semantics over parquet + manifests.
+
+The target design (SURVEY.md §1.2) stores transcripts / vocab / nodes /
+edges as Iceberg tables.  This sandbox has no Iceberg runtime jar, so this
+module provides the same *semantics* on plain parquet:
+
+* **atomic snapshots** — every write creates a new immutable data dir plus a
+  JSON manifest listing the data dirs live at that snapshot; the table's
+  current snapshot pointer is flipped with ``os.replace`` (atomic on POSIX).
+  A crash mid-write leaves the previous snapshot current — this is the
+  checkpoint/resume primitive (mirrors the reference's ``embedded_concepts``
+  checkpoint table + ``ON CONFLICT`` upsert,
+  reference src/backend/db/methods/embeddings.py:53-112).
+* **append / overwrite / merge-upsert / delete-where** — the write modes the
+  reference uses via SQL (INSERT, TRUNCATE+COPY imports.py:300-304,
+  ON CONFLICT DO UPDATE imports.py:207-240, DELETE imports.py:441-452).
+* **per-snapshot lineage** — each manifest records operation, row counts and
+  arbitrary stage metrics (north_rule: "per-partition lineage + metrics").
+
+On a real cluster the same class works unchanged over HDFS/S3A paths for
+everything except the atomic pointer flip, which Iceberg's catalog would
+provide; swapping this layer for ``df.writeTo(...)`` is a one-file change —
+the pipeline only uses the Table API below.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CURRENT = "_current"
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    operation: str
+    live_dirs: list[str]
+    rows_written: int
+    metrics: dict
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+
+class Table:
+    """A snapshot-versioned parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+
+    # ------------------------------------------------------------- state
+    def current_snapshot_id(self) -> str | None:
+        p = os.path.join(self.path, _CURRENT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return f.read().strip() or None
+
+    def snapshot(self, snapshot_id: str | None = None) -> Snapshot | None:
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(os.path.join(self.path, _MANIFESTS, f"{sid}.json")) as f:
+            return Snapshot(**json.loads(f.read()))
+
+    def exists(self) -> bool:
+        return self.current_snapshot_id() is not None
+
+    def history(self) -> list[Snapshot]:
+        mdir = os.path.join(self.path, _MANIFESTS)
+        snaps = []
+        for name in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, name)) as f:
+                snaps.append(Snapshot(**json.loads(f.read())))
+        return snaps
+
+    # -------------------------------------------------------------- read
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap.live_dirs:
+            raise FileNotFoundError(f"table {self.path} has no current snapshot")
+        return self.spark.read.parquet(*snap.live_dirs)
+
+    # ------------------------------------------------------------- write
+    def _write_data_dir(self, df: DataFrame, partition_by: list[str] | None) -> str:
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.path, _DATA, sid)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        return sid
+
+    def _commit(
+        self,
+        sid: str,
+        operation: str,
+        live_dirs: list[str],
+        rows_written: int,
+        metrics: dict | None,
+    ) -> Snapshot:
+        snap = Snapshot(
+            snapshot_id=sid,
+            operation=operation,
+            live_dirs=live_dirs,
+            rows_written=rows_written,
+            metrics=metrics or {},
+        )
+        _atomic_write_text(
+            os.path.join(self.path, _MANIFESTS, f"{sid}.json"), snap.to_json()
+        )
+        _atomic_write_text(os.path.join(self.path, _CURRENT), sid)
+        return snap
+
+    def _count_dir(self, data_dir: str) -> int:
+        return self.spark.read.parquet(data_dir).count()
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        metrics: dict | None = None,
+    ) -> Snapshot:
+        sid = self._write_data_dir(df, partition_by)
+        data_dir = os.path.join(self.path, _DATA, sid)
+        prev = self.snapshot()
+        live = (prev.live_dirs if prev else []) + [data_dir]
+        return self._commit(sid, "append", live, self._count_dir(data_dir), metrics)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        metrics: dict | None = None,
+    ) -> Snapshot:
+        sid = self._write_data_dir(df, partition_by)
+        data_dir = os.path.join(self.path, _DATA, sid)
+        return self._commit(
+            sid, "overwrite", [data_dir], self._count_dir(data_dir), metrics
+        )
+
+    def merge_upsert(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        partition_by: list[str] | None = None,
+        metrics: dict | None = None,
+    ) -> Snapshot:
+        """Last-write-wins upsert on ``keys`` — MERGE INTO semantics.
+
+        Mirrors the reference's remap-as-delete+insert
+        (src/backend/db/methods/mapping.py:112-132) and CONCEPT upsert
+        (imports.py:207-240): existing rows whose key appears in ``df`` are
+        replaced, everything else is kept.
+        """
+        if not self.exists():
+            return self.overwrite(df, partition_by, metrics)
+        current = self.read()
+        kept = current.join(df.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(df)
+        return self._commit_rewrite(merged, "merge", partition_by, metrics)
+
+    def delete_where(self, condition, metrics: dict | None = None) -> Snapshot:
+        """Row-level delete (reference imports.py:441-452)."""
+        remaining = self.read().filter(~condition)
+        return self._commit_rewrite(remaining, "delete", None, metrics)
+
+    def _commit_rewrite(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None,
+        metrics: dict | None,
+    ) -> Snapshot:
+        sid = self._write_data_dir(df, partition_by)
+        data_dir = os.path.join(self.path, _DATA, sid)
+        return self._commit(
+            sid, operation, [data_dir], self._count_dir(data_dir), metrics
+        )
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+class Warehouse:
+    """A directory of Tables plus stage-completion manifests."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_stages"), exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.spark, os.path.join(self.root, name))
+
+    # stage checkpoints -------------------------------------------------
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, "_stages", f"{stage}.json")
+
+    def stage_complete(self, stage: str) -> bool:
+        return os.path.exists(self._stage_path(stage))
+
+    def stage_metrics(self, stage: str) -> dict | None:
+        if not self.stage_complete(stage):
+            return None
+        with open(self._stage_path(stage)) as f:
+            return json.loads(f.read())
+
+    def mark_stage_complete(self, stage: str, metrics: dict | None = None) -> None:
+        payload = {"stage": stage, "metrics": metrics or {}}
+        _atomic_write_text(self._stage_path(stage), json.dumps(payload, sort_keys=True))
+
+    def reset_stage(self, stage: str) -> None:
+        try:
+            os.remove(self._stage_path(stage))
+        except FileNotFoundError:
+            pass

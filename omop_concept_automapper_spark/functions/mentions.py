@@ -1,0 +1,57 @@
+"""Gazetteer-based mention detection as a vectorized pandas UDF.
+
+The reference receives source concepts as CSV rows; the new engine's input
+is raw transcript turns (BASELINE.json input_hint), so mention detection is
+a new stage.  For reproducibility (and so the parity oracle can check it),
+detection is dictionary-based: a broadcast lexicon of surface forms is
+compiled ONCE PER EXECUTOR into a single alternation regex (longest-first so
+overlapping surface forms prefer the longest match), and each Arrow batch of
+turn texts is scanned in one pass per row.  Returns the sorted distinct
+canonical surface forms present in each text — deterministic regardless of
+partitioning.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+
+def compile_lexicon(surface_forms: list[str]):
+    """Compile surface forms into (regex, canonical-lookup)."""
+    canon = {s.lower(): s for s in surface_forms if s}
+    # longest-first alternation so 'type 2 diabetes mellitus' beats 'diabetes'
+    parts = sorted(canon.keys(), key=len, reverse=True)
+    pattern = re.compile(
+        r"(?<![a-z0-9])(" + "|".join(re.escape(p) for p in parts) + r")(?![a-z0-9])"
+    )
+    return pattern, canon
+
+
+def detect_mentions_py(text: str, pattern, canon) -> list[str]:
+    """Shared detection kernel (pipeline UDF + parity oracle)."""
+    if not text:
+        return []
+    found = {canon[m.group(1)] for m in pattern.finditer(text.lower())}
+    return sorted(found)
+
+
+def make_mention_detector(surface_forms: list[str]):
+    """Build a scalar-iterator pandas UDF: text -> array<string> of mentions.
+
+    Scalar-iterator form so the regex is compiled once per python worker,
+    not once per batch.
+    """
+    forms = list(surface_forms)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pattern, canon = compile_lexicon(forms)
+        for texts in batches:
+            yield texts.map(lambda t: detect_mentions_py(t, pattern, canon))
+
+    return detect

@@ -1,0 +1,71 @@
+"""Mention stage: detect mentions per turn, dedup + frequency (SURVEY.md §7.3).
+
+transcripts scan -> mention-detect pandas UDF + explode -> salted
+groupBy(mention_text) -> mention table with deterministic ids.
+
+Design decisions for scale:
+* detection is map-only — it pipelines with the scan, no shuffle;
+* the groupBy is SALTED (hot mentions like a ubiquitous diagnosis name are
+  real skew, north_rule) via operators/salted_agg;
+* ``mention_id = xxhash64(mention_text)`` — resume-stable and cluster-size
+  independent (monotonically_increasing_id is neither, SURVEY.md §1.2);
+* occurrences keep (conv_id, turn_idx) so triples can be expanded back to
+  turn provenance; transcripts are expected range/bucket-partitioned by
+  conv_id so this stage preserves input partitioning until the groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.functions.mentions import make_mention_detector
+from omop_concept_automapper_spark.functions.text import atc7_extract
+from omop_concept_automapper_spark.operators.salted_agg import salted_agg
+
+
+def extract_mention_occurrences(
+    transcripts: DataFrame, surface_forms: list[str]
+) -> DataFrame:
+    """(conv_id, turn_idx, mention_text) — one row per detected mention."""
+    detector = make_mention_detector(surface_forms)
+    return (
+        transcripts.select(
+            "conv_id", "turn_idx", detector(F.col("text")).alias("mentions")
+        )
+        .where(F.size("mentions") > 0)
+        .select("conv_id", "turn_idx", F.explode("mentions").alias("mention_text"))
+    )
+
+
+def build_mention_table(
+    spark: SparkSession,
+    occurrences: DataFrame,
+    lexicon: list[dict],
+) -> DataFrame:
+    """Distinct mentions with freq + drug metadata.
+
+    ``lexicon`` rows carry {mention_text, is_drug}; is_drug joins in via a
+    broadcast map (tiny dim).  ATC7 codes are extracted from the mention
+    text itself with the reference's anchored regex (utils.py:152-164).
+    """
+    mentions = salted_agg(
+        occurrences,
+        keys=["mention_text"],
+        aggs=[("conv_id", "count", "freq")],
+        salt_cols=["conv_id", "turn_idx"],
+    )
+    meta = spark.createDataFrame(
+        [(e["mention_text"], bool(e["is_drug"])) for e in lexicon],
+        "mention_text string, is_drug boolean",
+    )
+    return (
+        mentions.join(F.broadcast(meta), "mention_text", "left")
+        .select(
+            F.xxhash64("mention_text").alias("mention_id"),
+            "mention_text",
+            F.coalesce("is_drug", F.lit(False)).alias("is_drug"),
+            atc7_extract(F.col("mention_text")).alias("atc7"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Checkpointed pipeline runner — stage orchestration with idempotent resume.
+
+Mirrors the reference's incremental checkpoint loop semantics
+(reference src/backend/db/methods/embeddings.py:14-50: anti-join against
+the ``embedded_concepts`` marker table, process, upsert marker) at stage
+granularity: every stage writes its output table via an atomic snapshot
+commit (catalog.Table) and then a stage-complete manifest.  A rerun after a
+kill skips completed stages and recomputes only the rest — final triples
+are identical (tested in tests/test_invariants.py).
+
+Stage graph (SURVEY.md §3.1 re-expression, one lineage, no driver loop):
+
+    vocab_embeddings   <- concept ⋈ relationship ⋈ ancestor  (lifecycle 3.2)
+    mentions           <- transcripts scan -> detect UDF -> salted groupBy
+    links              <- mentions -> broadcast knn + rerank  (mapInPandas)
+    graph              <- accepted links -> CC -> nodes/edges merge-upsert
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.catalog import Warehouse
+from omop_concept_automapper_spark.operators.knn import link_mentions
+from omop_concept_automapper_spark.plans.graph import (
+    accepted_mappings,
+    build_edges,
+    build_nodes,
+)
+from omop_concept_automapper_spark.plans.mentions import (
+    build_mention_table,
+    extract_mention_occurrences,
+)
+from omop_concept_automapper_spark.plans.vocab_prep import build_vocab_embeddings
+
+
+@dataclass
+class PipelineConfig:
+    confidence_threshold: int = 8  # reference auto_mapper.py:89
+    k_standard: int = 15           # reference auto_mapper.py:69
+    k_drug: int = 30
+    target_domains: list[str] | None = None
+    domain_filter: str | None = None  # vocab embedding domain filter (P3)
+    extra: dict = field(default_factory=dict)
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, warehouse: Warehouse,
+                 config: PipelineConfig | None = None):
+        self.spark = spark
+        self.wh = warehouse
+        self.cfg = config or PipelineConfig()
+
+    # ------------------------------------------------------------ stages
+    def stage_vocab_embeddings(
+        self, concept: DataFrame, relationship: DataFrame, ancestor: DataFrame
+    ) -> DataFrame:
+        tbl = self.wh.table("vocab_embeddings")
+        if self.wh.stage_complete("vocab_embeddings"):
+            return tbl.read()
+        already = tbl.read() if tbl.exists() else None
+        fresh = build_vocab_embeddings(
+            concept, relationship, ancestor,
+            domain_filter=self.cfg.domain_filter,
+            already_embedded=already,
+        )
+        snap = tbl.append(fresh, metrics={"stage": "vocab_embeddings"})
+        self.wh.mark_stage_complete(
+            "vocab_embeddings", {"rows_appended": snap.rows_written}
+        )
+        return tbl.read()
+
+    def stage_mentions(
+        self, transcripts: DataFrame, lexicon: list[dict]
+    ) -> DataFrame:
+        tbl = self.wh.table("mentions")
+        occ_tbl = self.wh.table("mention_occurrences")
+        if self.wh.stage_complete("mentions"):
+            return tbl.read()
+        surface_forms = [e["mention_text"] for e in lexicon]
+        occurrences = extract_mention_occurrences(transcripts, surface_forms)
+        occ_snap = occ_tbl.overwrite(occurrences)
+        mentions = build_mention_table(self.spark, occ_tbl.read(), lexicon)
+        snap = tbl.overwrite(mentions)
+        self.wh.mark_stage_complete(
+            "mentions",
+            {"occurrences": occ_snap.rows_written, "mentions": snap.rows_written},
+        )
+        return tbl.read()
+
+    def stage_links(
+        self, mentions: DataFrame, vocab_embeddings: DataFrame
+    ) -> DataFrame:
+        tbl = self.wh.table("links")
+        if self.wh.stage_complete("links"):
+            return tbl.read()
+        vocab_pdf = vocab_embeddings.select(
+            "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+        ).toPandas()
+        results = link_mentions(
+            self.spark, mentions, vocab_pdf,
+            k_standard=self.cfg.k_standard, k_drug=self.cfg.k_drug,
+            target_domains=self.cfg.target_domains,
+        )
+        snap = tbl.overwrite(results)
+        quarantined = tbl.read().where(F.col("error").isNotNull())
+        q_snap = self.wh.table("quarantine").overwrite(quarantined)
+        self.wh.mark_stage_complete(
+            "links",
+            {"link_rows": snap.rows_written, "quarantined": q_snap.rows_written},
+        )
+        return tbl.read()
+
+    def stage_graph(self, links: DataFrame) -> tuple[DataFrame, DataFrame]:
+        nodes_tbl = self.wh.table("nodes")
+        edges_tbl = self.wh.table("edges")
+        if self.wh.stage_complete("graph"):
+            return nodes_tbl.read(), edges_tbl.read()
+        accepted = accepted_mappings(links, self.cfg.confidence_threshold)
+        edges = build_edges(accepted, self.cfg.target_domains)
+        nodes = build_nodes(accepted)
+        # last-write-wins per subject (ST2 remap semantics, mapping.py:112-132)
+        e_snap = edges_tbl.merge_upsert(edges, keys=["subj"])
+        n_snap = nodes_tbl.merge_upsert(nodes, keys=["node_id"])
+        self.wh.mark_stage_complete(
+            "graph", {"edges": e_snap.rows_written, "nodes": n_snap.rows_written}
+        )
+        return nodes_tbl.read(), edges_tbl.read()
+
+    # --------------------------------------------------------------- run
+    def run(
+        self,
+        transcripts: DataFrame,
+        concept: DataFrame,
+        relationship: DataFrame,
+        ancestor: DataFrame,
+        lexicon: list[dict],
+    ) -> dict[str, DataFrame]:
+        vocab = self.stage_vocab_embeddings(concept, relationship, ancestor)
+        mentions = self.stage_mentions(transcripts, lexicon)
+        links = self.stage_links(mentions, vocab)
+        nodes, edges = self.stage_graph(links)
+        return {
+            "vocab_embeddings": vocab,
+            "mentions": mentions,
+            "links": links,
+            "nodes": nodes,
+            "edges": edges,
+        }

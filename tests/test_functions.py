@@ -1,0 +1,101 @@
+"""Unit tests mirroring the reference's five mocked test modules
+(SURVEY.md §5.1): embedder shapes/determinism, reranker selection +
+fallback, ATC7 regex, mention detection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from omop_concept_automapper_spark.functions.embedder import (
+    EMBED_DIM,
+    embed_one,
+    embed_texts,
+)
+from omop_concept_automapper_spark.functions.mentions import (
+    compile_lexicon,
+    detect_mentions_py,
+)
+from omop_concept_automapper_spark.functions.reranker import (
+    confidence_from_score,
+    rerank_select,
+)
+
+
+class TestEmbedder:
+    def test_shape_and_dtype(self):
+        out = embed_texts(["metformin", "hypertension", ""])
+        assert out.shape == (3, EMBED_DIM)
+        assert out.dtype == np.float32
+
+    def test_l2_normalized(self):
+        v = embed_one("type 2 diabetes mellitus")
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+    def test_deterministic(self):
+        a = embed_texts(["aspirin 81 mg oral tablet"] * 2)
+        b = embed_texts(["aspirin 81 mg oral tablet"])
+        assert np.array_equal(a[0], a[1])
+        assert np.array_equal(a[0], b[0])
+
+    def test_similarity_orders_like_overlap(self):
+        q, near, far = embed_texts(
+            ["metformin 500 mg tablet", "metformin 500 mg oral tablet",
+             "cardiac pacemaker device"]
+        )
+        assert float(q @ near) > float(q @ far)
+
+    def test_empty_is_zero_vector(self):
+        assert float(np.abs(embed_one("")).sum()) == 0.0
+
+
+class TestReranker:
+    def test_exact_match_confidence_10(self):
+        sel, conf = rerank_select("acute bronchitis", ["chronic sinusitis",
+                                                       "acute bronchitis"])
+        assert (sel, conf) == (1, 10)
+
+    def test_reordered_tokens_confidence_10(self):
+        sel, conf = rerank_select("bronchitis acute", ["acute bronchitis"])
+        assert (sel, conf) == (0, 10)
+
+    def test_empty_candidates_returns_none(self):
+        # reference reranker.py:45-49 — empty list -> None
+        assert rerank_select("anything", []) is None
+
+    def test_tie_break_first_index(self):
+        sel, _ = rerank_select("zzz", ["aaa", "bbb"])  # both score 0
+        assert sel == 0
+
+    def test_no_overlap_confidence_1(self):
+        _, conf = rerank_select("quantum flux", ["acute bronchitis"])
+        assert conf == 1
+
+    @pytest.mark.parametrize(
+        "score,expected", [(0.0, 1), (0.5, 6), (0.722, 7), (0.7223, 8), (1.0, 10)]
+    )
+    def test_confidence_mapping(self, score, expected):
+        assert confidence_from_score(score) == expected
+
+
+class TestMentionDetection:
+    def test_longest_match_wins(self):
+        pattern, canon = compile_lexicon(
+            ["type 2 diabetes mellitus", "diabetes mellitus"]
+        )
+        found = detect_mentions_py(
+            "history of type 2 diabetes mellitus noted", pattern, canon
+        )
+        assert found == ["type 2 diabetes mellitus"]
+
+    def test_word_boundaries(self):
+        pattern, canon = compile_lexicon(["asthma"])
+        assert detect_mentions_py("pseudoasthmatic", pattern, canon) == []
+        assert detect_mentions_py("has asthma.", pattern, canon) == ["asthma"]
+
+    def test_sorted_distinct(self):
+        pattern, canon = compile_lexicon(["asthma", "migraine"])
+        found = detect_mentions_py(
+            "migraine and asthma and migraine", pattern, canon
+        )
+        assert found == ["asthma", "migraine"]

@@ -1,0 +1,136 @@
+"""Invariant tests (SURVEY.md §5.2.3): per-turn text byte-equality under
+stable (conv_id, turn_idx) ordering; resume idempotence; remap
+last-write-wins; catalog snapshot atomicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.catalog import Warehouse
+from omop_concept_automapper_spark.fixtures.transcripts import (
+    generate_transcript_rows,
+    transcripts_dataframe,
+)
+from omop_concept_automapper_spark.fixtures.vocabulary import (
+    build_lexicon,
+    vocab_dataframes,
+)
+from omop_concept_automapper_spark.plans.runner import Pipeline, PipelineConfig
+
+N_CONV = 40
+
+
+def test_per_turn_text_byte_equality(spark, tmp_path):
+    """Round-trip through the table layer preserves text byte-for-byte in
+    stable (conv_id, turn_idx) order (BASELINE.json input_hint)."""
+    df = transcripts_dataframe(spark, n_conversations=N_CONV)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("transcripts")
+    tbl.overwrite(df, partition_by=None)
+    back = (
+        tbl.read()
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    expected = sorted(
+        ((r[0], r[1], r[3]) for r in generate_transcript_rows(N_CONV)),
+        key=lambda t: (t[0], t[1]),
+    )
+    got = [(r["conv_id"], r["turn_idx"], r["text"]) for r in back]
+    assert got == expected
+
+
+def _run(spark, wh_path, n_conv=N_CONV):
+    wh = Warehouse(spark, wh_path)
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    out = pipe.run(
+        transcripts_dataframe(spark, n_conversations=n_conv),
+        *vocab_dataframes(spark),
+        build_lexicon(),
+    )
+    return wh, out
+
+
+def _edge_set(edges_df):
+    return {
+        (r["subj"], r["pred"], r["obj"], str(r["confidence"]))
+        for r in edges_df.collect()
+    }
+
+
+def test_resume_skips_completed_stages_and_is_idempotent(spark, tmp_path):
+    wh_path = str(tmp_path / "wh")
+    wh, out = _run(spark, wh_path)
+    first = _edge_set(out["edges"])
+    snap_before = wh.table("edges").current_snapshot_id()
+
+    # simulate a kill after the links stage: graph manifest lost
+    wh.reset_stage("graph")
+    wh2, out2 = _run(spark, wh_path)
+    assert _edge_set(out2["edges"]) == first  # merge-upsert is idempotent
+
+    # full rerun with all stages complete: nothing recomputed
+    wh3, out3 = _run(spark, wh_path)
+    assert wh3.table("edges").current_snapshot_id() == wh2.table(
+        "edges"
+    ).current_snapshot_id()
+    assert _edge_set(out3["edges"]) == first
+    assert snap_before is not None
+
+
+def test_remap_last_write_wins(spark, tmp_path):
+    """ST2: re-mapping a subject replaces its previous edges
+    (reference mapping.py:112-132 delete+insert)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("edges")
+    first = spark.createDataFrame(
+        [("m:1", "maps-to", 100), ("m:2", "maps-to", 200)],
+        "subj string, pred string, obj int",
+    )
+    tbl.merge_upsert(first, keys=["subj"])
+    remap = spark.createDataFrame(
+        [("m:1", "maps-to", 999)], "subj string, pred string, obj int"
+    )
+    tbl.merge_upsert(remap, keys=["subj"])
+    rows = {(r["subj"], r["obj"]) for r in tbl.read().collect()}
+    assert rows == {("m:1", 999), ("m:2", 200)}
+
+
+def test_snapshot_history_and_lineage(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("t")
+    df = spark.range(5).select(F.col("id"))
+    tbl.overwrite(df, metrics={"stage": "s1"})
+    tbl.append(spark.range(5, 8).select(F.col("id")))
+    hist = tbl.history()
+    assert [s.operation for s in hist] == ["overwrite", "append"]
+    assert tbl.read().count() == 8
+    assert hist[0].metrics == {"stage": "s1"}
+    assert hist[1].rows_written == 3
+
+
+def test_delete_where(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("t")
+    tbl.overwrite(spark.range(10))
+    tbl.delete_where(F.col("id") >= 5)
+    assert sorted(r["id"] for r in tbl.read().collect()) == [0, 1, 2, 3, 4]
+
+
+def test_incremental_vocab_embedding_resume(spark, tmp_path):
+    """J4 semantics: a second embedding pass only appends missing concepts."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    concept, rel, anc = vocab_dataframes(spark)
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    half = concept.limit(150)
+    pipe.stage_vocab_embeddings(half, rel, anc)
+    n1 = wh.table("vocab_embeddings").read().count()
+    # new concepts arrive; stage must re-run incrementally
+    wh.reset_stage("vocab_embeddings")
+    pipe.stage_vocab_embeddings(concept, rel, anc)
+    full = wh.table("vocab_embeddings").read()
+    n2 = full.count()
+    assert n2 > n1
+    # no duplicates: incremental append embedded each concept exactly once
+    assert full.select("concept_id").distinct().count() == n2

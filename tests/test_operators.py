@@ -1,0 +1,177 @@
+"""Operator-level tests: ATC7 derivation, salted agg, connected components,
+knn filter semantics (MatchAny-on-array = any-overlap, domain filter,
+zero-hit behavior)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.fixtures.vocabulary import vocab_dataframes
+from omop_concept_automapper_spark.functions.text import atc7_extract
+from omop_concept_automapper_spark.operators.connected_components import (
+    connected_components,
+)
+from omop_concept_automapper_spark.operators.knn import build_vocab_index, link_batch
+from omop_concept_automapper_spark.operators.salted_agg import salted_agg
+from omop_concept_automapper_spark.plans.oracle import oracle_atc7
+from omop_concept_automapper_spark.plans.vocab_prep import derive_atc7
+from omop_concept_automapper_spark.fixtures.vocabulary import build_mini_vocab
+
+
+def test_atc7_derivation_matches_oracle(spark):
+    concept, rel, anc = vocab_dataframes(spark)
+    got = {
+        r["concept_id"]: list(r["atc7_codes"])
+        for r in derive_atc7(concept, rel, anc).collect()
+    }
+    expected = oracle_atc7(build_mini_vocab(42))
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_atc7_extract_column(spark):
+    df = spark.createDataFrame(
+        [(" a10ba02 metformin",), ("A10BA02-METF-500",), ("metformin",), ("A10B",)],
+        "v string",
+    )
+    out = [r[0] for r in df.select(atc7_extract("v")).collect()]
+    assert out == ["A10BA02", "A10BA02", "", ""]
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        (F.col("id") % 13).alias("v"),
+        F.col("id").alias("salt_src"),
+    )
+    got = {
+        (r["k"]): (r["cnt"], r["total"], r["mn"], r["mx"], sorted(r["vals"]))
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs=[("v", "count", "cnt"), ("v", "sum", "total"),
+                  ("v", "min", "mn"), ("v", "max", "mx"),
+                  ("v", "collect_set", "vals")],
+            salt_cols=["salt_src"],
+        ).collect()
+    }
+    exp = {
+        (r["k"]): (r["cnt"], r["total"], r["mn"], r["mx"], sorted(r["vals"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("cnt"), F.sum("v").alias("total"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+            F.collect_set("v").alias("vals"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_connected_components_basic(spark):
+    # two components: {1,2,3,4} (chain) and {10,11}; singleton via self edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "src long, dst long"
+    )
+    labels = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == 20
+
+
+def test_connected_components_star_and_chain(spark):
+    # star around 100 plus a long chain to force multiple iterations
+    rows = [(100, i) for i in range(101, 120)] + [
+        (i, i + 1) for i in range(200, 230)
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    labels = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert all(labels[i] == 100 for i in range(100, 120))
+    assert all(labels[i] == 200 for i in range(200, 231))
+
+
+def _tiny_index():
+    vocab_pdf = pd.DataFrame(
+        {
+            "concept_id": [1, 2, 3],
+            "concept_name": ["acute bronchitis", "chronic sinusitis",
+                             "metformin 500 mg oral tablet"],
+            "domain_id": ["Condition", "Condition", "Drug"],
+            "atc7_codes": [[], [], ["A10BA02"]],
+            "vector": list(
+                __import__(
+                    "omop_concept_automapper_spark.functions.embedder",
+                    fromlist=["embed_texts"],
+                ).embed_texts(
+                    ["acute bronchitis", "chronic sinusitis",
+                     "metformin 500 mg oral tablet"]
+                )
+            ),
+        }
+    )
+    return build_vocab_index(vocab_pdf)
+
+
+def test_knn_atc7_matchany_restricts_candidates():
+    index = _tiny_index()
+    pdf = pd.DataFrame(
+        {
+            "mention_id": [1],
+            "mention_text": ["A10BA02 metformin 500 mg oral tablet"],
+            "is_drug": [True],
+            "atc7": ["A10BA02"],
+        }
+    )
+    out = link_batch(pdf, index)
+    assert out.iloc[0]["candidate_ids"] == [3]
+    assert out.iloc[0]["concept_id"] == 3
+
+
+def test_knn_zero_hits_emits_no_row():
+    index = _tiny_index()
+    pdf = pd.DataFrame(
+        {
+            "mention_id": [1],
+            "mention_text": ["whatever"],
+            "is_drug": [True],
+            "atc7": ["Z99ZZ99"],  # no concept carries this code
+        }
+    )
+    out = link_batch(pdf, index)
+    assert len(out) == 0  # reference auto_mapper.py:76-77
+
+
+def test_knn_domain_filter():
+    index = _tiny_index()
+    pdf = pd.DataFrame(
+        {
+            "mention_id": [1],
+            "mention_text": ["metformin 500 mg oral tablet"],
+            "is_drug": [False],
+            "atc7": [""],
+        }
+    )
+    out = link_batch(pdf, index, target_domains=["Condition"])
+    assert set(out.iloc[0]["candidate_ids"]) == {1, 2}
+
+
+def test_knn_topk_truncates_and_orders():
+    index = _tiny_index()
+    pdf = pd.DataFrame(
+        {
+            "mention_id": [1],
+            "mention_text": ["acute bronchitis"],
+            "is_drug": [False],
+            "atc7": [""],
+        }
+    )
+    out = link_batch(pdf, index, k_standard=2)
+    cands = out.iloc[0]["candidate_ids"]
+    assert len(cands) == 2 and cands[0] == 1  # best first
+    assert out.iloc[0]["confidence"] == 10

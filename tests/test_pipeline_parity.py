@@ -1,0 +1,112 @@
+"""End-to-end golden parity: the distributed pipeline's accepted triples
+must match the sequential reference-algorithm oracle with P/R >= 0.95
+(BASELINE.json) — in practice exactly, since both sides share deterministic
+model stand-ins."""
+
+from __future__ import annotations
+
+import pytest
+
+from omop_concept_automapper_spark.catalog import Warehouse
+from omop_concept_automapper_spark.fixtures.transcripts import transcripts_dataframe
+from omop_concept_automapper_spark.fixtures.vocabulary import (
+    build_lexicon,
+    vocab_dataframes,
+)
+from omop_concept_automapper_spark.plans.oracle import oracle_link
+from omop_concept_automapper_spark.plans.runner import Pipeline, PipelineConfig
+
+N_CONV = 120
+
+
+@pytest.fixture(scope="module")
+def pipeline_outputs(spark, tmp_path_factory):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("warehouse")))
+    transcripts = transcripts_dataframe(spark, n_conversations=N_CONV)
+    concept, rel, anc = vocab_dataframes(spark)
+    lexicon = build_lexicon()
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    out = pipe.run(transcripts, concept, rel, anc, lexicon)
+    return out, wh
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return oracle_link(n_conversations=N_CONV)
+
+
+def _edge_key(e):
+    return (e["mention_text"], e["pred"], int(e["obj"]), int(e["confidence"]))
+
+
+def test_precision_recall_vs_golden(pipeline_outputs, golden):
+    out, _ = pipeline_outputs
+    got = {
+        (r["mention_text"], r["pred"], int(r["obj"]), int(r["confidence"]))
+        for r in out["edges"].collect()
+    }
+    want = {_edge_key(e) for e in golden["edges"]}
+    assert want, "golden edge set must be non-empty"
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want)
+    assert precision >= 0.95, f"precision {precision} (got {len(got)}, tp {tp})"
+    assert recall >= 0.95, f"recall {recall} (want {len(want)}, tp {tp})"
+    # with shared deterministic models parity should be exact
+    assert got == want
+
+
+def test_mapping_methods_and_preds(pipeline_outputs, golden):
+    out, _ = pipeline_outputs
+    rows = out["edges"].collect()
+    preds = {r["pred"] for r in rows}
+    assert "maps-to" in preds
+    assert "maps-to-value" in preds  # drug + ATC7 path exercised
+    methods = {r["mapping_method"] for r in rows}
+    assert methods == {
+        e["mapping_method"] for e in golden["edges"]
+    }
+
+
+def test_rejections_match_oracle(pipeline_outputs, golden):
+    out, _ = pipeline_outputs
+    links = {
+        r["mention_text"]: r["confidence"] for r in out["links"].collect()
+    }
+    for r in golden["results"]:
+        if r.get("status") == "rejected":
+            assert links[r["mention_text"]] == r["confidence"]
+            assert links[r["mention_text"]] < 8
+
+
+def test_canonical_components_match_oracle(pipeline_outputs, golden):
+    out, _ = pipeline_outputs
+    nodes = out["nodes"].collect()
+    mention_rows = [n for n in nodes if n["node_type"] == "mention_entity"]
+    by_canonical: dict[str, set[str]] = {}
+    for n in mention_rows:
+        by_canonical.setdefault(n["canonical_id"], set()).add(n["label"])
+    got_groups = {frozenset(v) for v in by_canonical.values()}
+    want_groups = {
+        frozenset(v) for v in golden["components"].values()
+    }
+    assert got_groups == want_groups
+    # concept nodes are their own canonical
+    for n in nodes:
+        if n["node_type"] == "concept":
+            assert n["canonical_id"] == n["node_id"]
+
+
+def test_mention_freq_matches_oracle(pipeline_outputs, golden):
+    out, _ = pipeline_outputs
+    got = {r["mention_text"]: r["freq"] for r in out["mentions"].collect()}
+    assert got == golden["freq"]
+
+
+def test_vocab_embeddings_excludes_nonstandard(pipeline_outputs, golden):
+    out, _ = pipeline_outputs
+    rows = out["vocab_embeddings"].collect()
+    assert len(rows) == golden["n_standard"]
+    names = {r["concept_name"] for r in rows}
+    assert not any("non standard" in n for n in names)
+    assert not any("box" in n or "marketed" in n for n in names)
