@@ -1,38 +1,638 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: k-NN join of deterministic document embeddings
+against the embeddings table at sf0.001 (the linker's heart operator, J9).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator family
+from SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity search, text analysis), each with a DuckDB-runnable ANSI-SQL
+oracle.  Numeric outputs are decimal-accumulated and emitted as exact
+doubles or scaled integers (basis points) so value-hashes match across
+engines.  ``kg_pipeline_edges`` is the end-to-end KG linker on deterministic
+fixtures (non-SQL-expressible: vectorized UDFs; rows-only check — its SQL
+parity is covered by the sequential oracle in pytest).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """k-NN join: embed sf0.001 documents, link to nearest embedding rows."""
+    from omop_concept_automapper_spark.functions.embedder import embed_texts
+    from omop_concept_automapper_spark.operators.similarity import knn_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(64).toPandas()
+    queries_pdf = pd.DataFrame(
+        {
+            "query_id": docs["doc_id"].astype("int64"),
+            "vector": list(embed_texts(docs["text"].tolist())),
+        }
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join(spark, queries_pdf, emb, k=3)
 
 
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from omop_concept_automapper_spark.functions.text import (
+        lang_id,
+        fingerprint,
+        punct_ratio,
+        quality_score,
+        token_count,
+    )
+    from omop_concept_automapper_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        exact_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash,
+    )
+    from omop_concept_automapper_spark.operators.similarity import (
+        ann_topk,
+        knn_join,
+        lsh_bucketed_topk,
+    )
+    from omop_concept_automapper_spark.operators.connected_components import (
+        connected_components,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -------------------------------------------------- relational suite
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                ).cast("double").alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q3_segment_revenue_topn(spark, sf):
+        c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        rev = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("o_orderkey")
+            .agg(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                ).cast("double").alias("revenue")
+            )
+        )
+        return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+    def j1_customers_without_orders(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return c.join(
+            o, c["c_custkey"] == o["o_custkey"], "left_anti"
+        ).select("c_custkey", "c_name")
+
+    def j2_nation_revenue(spark, sf):
+        o = _t(spark, sf, "orders")
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    def j4_order_lineitem_counts(spark, sf):
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+            .groupBy("o_orderkey")
+            .agg(F.coalesce(F.count("l_linenumber"), F.lit(0)).alias("n_items"))
+        )
+
+    def j7_parts_in_lineitem(spark, sf):
+        p = _t(spark, sf, "part")
+        li = _t(spark, sf, "lineitem")
+        return (
+            p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+        )
+
+    def u1_two_path_nations(spark, sf):
+        n = _t(spark, sf, "nation")
+        s = _t(spark, sf, "supplier")
+        c = _t(spark, sf, "customer")
+        via_s = s.join(n, s["s_nationkey"] == n["n_nationkey"]).select("n_name")
+        via_c = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select("n_name")
+        return via_s.union(via_c).distinct()
+
+    def a3_priority_stats(spark, sf):
+        o = _t(spark, sf, "orders")
+        sum_dec = F.sum(_dec("o_totalprice"))
+        return (
+            o.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(_dec("o_totalprice")).cast("double").alias("min_price"),
+                F.max(_dec("o_totalprice")).cast("double").alias("max_price"),
+                (sum_dec.cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            )
+        )
+
+    def a4_nation_segments(spark, sf):
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        return (
+            c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+        )
+
+    def a6_distinct_status(spark, sf):
+        return (
+            _t(spark, sf, "orders")
+            .select("o_orderstatus")
+            .distinct()
+            .orderBy("o_orderstatus")
+        )
+
+    def a7_status_rollup(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.groupBy("o_orderstatus")
+            .agg(
+                F.max(F.col("o_orderdate").cast("string")).alias("last_date"),
+                F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                ).alias("has_urgent"),
+            )
+        )
+
+    def w1_top3_orders_per_customer(spark, sf):
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "rk")
+        )
+
+    def w2_event_sequence(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        return e.select(
+            "user_id", "event_id", F.row_number().over(w).alias("seq")
+        )
+
+    def o3_top20_orders(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(20)
+            .select("o_orderkey", _dec("o_totalprice").cast("double").alias("price"))
+        )
+
+    def p6_regex_extract_events(spark, sf):
+        e = _t(spark, sf, "events")
+        k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1)
+        return (
+            e.select("event_type", k.cast("int").alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def f_scalar_pack(spark, sf):
+        p = _t(spark, sf, "part")
+        toks = F.split(F.col("p_type"), " ")
+        return p.select(
+            "p_partkey",
+            F.upper(F.trim(F.col("p_name"))).alias("name_up"),
+            F.length("p_name").alias("name_len"),
+            F.coalesce(F.col("p_brand"), F.lit("?")).alias("brand"),
+            F.size(toks).alias("n_type_tokens"),
+            F.element_at(F.transform(toks, lambda x: F.trim(x)), 1).alias(
+                "first_type_token"
+            ),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+
+    def p2_class_exclusion_filter(spark, sf):
+        p = _t(spark, sf, "part")
+        keep = ~F.lower(F.col("p_type")).contains("brass") & ~F.lower(
+            F.col("p_type")
+        ).contains("copper")
+        return p.where(keep).groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n_kept")
+        )
+
+    # ------------------------------------------------------ dedup suite
+    def dedup_exact(spark, sf):
+        return exact_duplicates(_t(spark, sf, "documents"))
+
+    def dedup_minhash_sigs(spark, sf):
+        return minhash_signatures(_t(spark, sf, "documents"))
+
+    def dedup_lsh_pairs(spark, sf):
+        return lsh_candidate_pairs(minhash_signatures(_t(spark, sf, "documents")))
+
+    def dedup_simhash(spark, sf):
+        return simhash(_t(spark, sf, "documents"))
+
+    def dedup_ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
+
+    def dedup_embedding_cosine(spark, sf):
+        return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+
+    # -------------------------------------------------- similarity suite
+    def ann_topk_vec0(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ann_topk(emb.where(F.col("vec_id") != 0), list(q), k=10)
+
+    def ann_knn_join(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qpdf = (
+            emb.where(F.col("vec_id") < 20)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .rename(columns={"vec_id": "query_id", "embedding": "vector"})
+        )
+        return knn_join(spark, qpdf, emb.where(F.col("vec_id") >= 20), k=5)
+
+    def ann_lsh_bucketed(spark, sf):
+        emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+        return lsh_bucketed_topk(emb, k=3, n_planes=4)
+
+    # ------------------------------------------------- text analysis
+    def text_quality_metrics(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.round(punct_ratio("text") * 10000).cast("long").alias("punct_bp"),
+            F.round(quality_score("text") * 10000).cast("long").alias("quality_bp"),
+            fingerprint("text").alias("fingerprint"),
+        )
+
+    def text_lang_id(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", "lang", lang_id("text").alias("predicted_lang")
+        )
+
+    # --------------------------------------------------------- graph
+    def cc_components(spark, sf):
+        li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
+        edges = li.select(
+            F.col("l_orderkey").cast("long").alias("src"),
+            (F.lit(1000000) + F.col("l_partkey")).cast("long").alias("dst"),
+        ).distinct()
+        return connected_components(edges)
+
+    # ------------------------------------------- KG pipeline (rows-only)
+    def kg_pipeline_edges(spark, sf):
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import (
+            build_lexicon,
+            vocab_dataframes,
+        )
+        from omop_concept_automapper_spark.operators.knn import link_mentions
+        from omop_concept_automapper_spark.plans.graph import (
+            accepted_mappings,
+            build_edges,
+        )
+        from omop_concept_automapper_spark.plans.mentions import (
+            build_mention_table,
+            extract_mention_occurrences,
+        )
+        from omop_concept_automapper_spark.plans.vocab_prep import (
+            build_vocab_embeddings,
+        )
+
+        concept, rel, anc = vocab_dataframes(spark)
+        lexicon = build_lexicon()
+        vocab_pdf = build_vocab_embeddings(concept, rel, anc).select(
+            "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+        ).toPandas()
+        transcripts = transcripts_dataframe(spark, n_conversations=40)
+        occ = extract_mention_occurrences(
+            transcripts, [e["mention_text"] for e in lexicon]
+        )
+        mentions = build_mention_table(spark, occ, lexicon)
+        links = link_mentions(spark, mentions, vocab_pdf)
+        edges = build_edges(accepted_mappings(links, threshold=8), None)
+        return edges.select("subj", "pred", "obj", "mention_text", "confidence")
+
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue_topn": q3_segment_revenue_topn,
+        "j1_customers_without_orders": j1_customers_without_orders,
+        "j2_nation_revenue": j2_nation_revenue,
+        "j4_order_lineitem_counts": j4_order_lineitem_counts,
+        "j7_parts_in_lineitem": j7_parts_in_lineitem,
+        "u1_two_path_nations": u1_two_path_nations,
+        "a3_priority_stats": a3_priority_stats,
+        "a4_nation_segments": a4_nation_segments,
+        "a6_distinct_status": a6_distinct_status,
+        "a7_status_rollup": a7_status_rollup,
+        "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
+        "w2_event_sequence": w2_event_sequence,
+        "o3_top20_orders": o3_top20_orders,
+        "p6_regex_extract_events": p6_regex_extract_events,
+        "f_scalar_pack": f_scalar_pack,
+        "p2_class_exclusion_filter": p2_class_exclusion_filter,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_sigs": dedup_minhash_sigs,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "ann_topk_vec0": ann_topk_vec0,
+        "ann_knn_join": ann_knn_join,
+        "ann_lsh_bucketed": ann_lsh_bucketed,
+        "text_quality_metrics": text_quality_metrics,
+        "text_lang_id": text_lang_id,
+        "cc_components": cc_components,
+        "kg_pipeline_edges": kg_pipeline_edges,
+    }
+
+
+# -------------------------------------------------------------- oracles
+_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_transform(range(1, len({t}) - 1), i -> array_to_string(({t})[i:i+2], ' ')) "
+    "ELSE [array_to_string({t}, ' ')] END"
+).format(t=_TOKS)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(8)
+    )
+    return (
+        f"SELECT doc_id, [{mins}] AS signature "
+        f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+    )
+
+
+def _lang_id_sql() -> str:
+    from omop_concept_automapper_spark.functions.text import (
+        LANG_ORDER,
+        LANG_STOPWORDS,
+    )
+
+    score_exprs = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        score_exprs.append(
+            f"len(list_intersect(toks, [{words}])) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_ORDER
+    )
+    score_cols = ", ".join(f"s_{lang}" for lang in LANG_ORDER)
+    return (
+        "SELECT doc_id, lang, CASE " + whens + " ELSE 'und' END AS predicted_lang "
+        "FROM (SELECT doc_id, lang, " + score_cols + ", " + best + " AS best FROM ("
+        "SELECT doc_id, lang, " + ", ".join(score_exprs)
+        + f" FROM (SELECT doc_id, lang, list_distinct({_TOKS}) AS toks FROM documents)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+    disc = (
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    cos = "list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[])"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({disc}) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q3_segment_revenue_topn": f"""
+            SELECT o_orderkey, CAST(SUM({disc}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+        "j1_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "j2_nation_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
+        "j4_order_lineitem_counts": """
+            SELECT o_orderkey, COALESCE(COUNT(l_linenumber), 0) AS n_items
+            FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey""",
+        "j7_parts_in_lineitem": """
+            SELECT p_brand, COUNT(*) AS n_parts FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            GROUP BY p_brand""",
+        "u1_two_path_nations": """
+            SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            UNION
+            SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey""",
+        "a3_priority_stats": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+                   CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+            FROM orders GROUP BY o_orderpriority""",
+        "a4_nation_segments": """
+            SELECT n_name, array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+            FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
+        "a6_distinct_status": """
+            SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus""",
+        "a7_status_rollup": """
+            SELECT o_orderstatus, CAST(MAX(o_orderdate) AS VARCHAR) AS last_date,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   COUNT(*) AS n,
+                   MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS has_urgent
+            FROM orders GROUP BY o_orderstatus""",
+        "w1_top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders) WHERE rk <= 3""",
+        "w2_event_sequence": """
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC) AS seq
+            FROM events""",
+        "o3_top20_orders": """
+            SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+        "p6_regex_extract_events": """
+            SELECT event_type,
+                   SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type""",
+        "f_scalar_pack": """
+            SELECT p_partkey, upper(trim(p_name)) AS name_up,
+                   length(p_name) AS name_len,
+                   COALESCE(p_brand, '?') AS brand,
+                   len(string_split(p_type, ' ')) AS n_type_tokens,
+                   list_transform(string_split(p_type, ' '), x -> trim(x))[1] AS first_type_token,
+                   p_brand || '|' || p_type AS brand_type
+            FROM part""",
+        "p2_class_exclusion_filter": """
+            SELECT p_brand, COUNT(*) AS n_kept FROM part
+            WHERE lower(p_type) NOT LIKE '%brass%'
+              AND lower(p_type) NOT LIKE '%copper%'
+            GROUP BY p_brand""",
+        "dedup_exact": f"""
+            SELECT {norm} AS fingerprint, COUNT(doc_id) AS n_docs,
+                   MIN(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1""",
+        "dedup_minhash_sigs": _minhash_sig_sql(),
+        "dedup_lsh_pairs": f"""
+            WITH sigs AS ({_minhash_sig_sql()}),
+            bands AS (
+              SELECT doc_id, b AS band,
+                     md5(signature[2*b+1] || '|' || signature[2*b+2]) AS bucket
+              FROM sigs, UNNEST([0,1,2,3]) AS t(b))
+            SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents),
+            h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT AS h FROM tok),
+            sums AS (
+              SELECT doc_id,
+                     {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(16))}
+              FROM h GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS INT) AS simhash
+            FROM sums""",
+        "dedup_ngram_jaccard": f"""
+            WITH base AS (
+              SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS size_bkt,
+                     list_distinct({_TOKS}) AS toks
+              FROM documents)
+            SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+                   CAST(ROUND((len(list_intersect(l.toks, r.toks))::DOUBLE /
+                        len(list_distinct(list_concat(l.toks, r.toks)))) * 10000) AS BIGINT) AS jaccard_bp
+            FROM base l JOIN base r
+              ON l.lang = r.lang AND l.size_bkt = r.size_bkt AND l.doc_id < r.doc_id
+            WHERE CAST(ROUND((len(list_intersect(l.toks, r.toks))::DOUBLE /
+                  len(list_distinct(list_concat(l.toks, r.toks)))) * 10000) AS BIGINT) >= 1000""",
+        "dedup_embedding_cosine": f"""
+            SELECT l.vec_id AS vec_id_1, r.vec_id AS vec_id_2,
+                   CAST(ROUND({cos} * 10000) AS BIGINT) AS cosine_bp
+            FROM embeddings l JOIN embeddings r
+              ON l.label = r.label AND l.vec_id < r.vec_id
+            WHERE CAST(ROUND({cos} * 10000) AS BIGINT) >= 3000""",
+        "ann_topk_vec0": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(ROUND(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY cosine_bp DESC, vec_id ASC LIMIT 10""",
+        "ann_knn_join": """
+            SELECT query_id, vec_id, rank, cosine_bp FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank,
+                     CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+              FROM embeddings q JOIN embeddings e ON e.vec_id >= 20
+              WHERE q.vec_id < 20) WHERE rank <= 5""",
+        "ann_lsh_bucketed": """
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+              FROM embeddings WHERE vec_id < 300)
+            SELECT query_id, vec_id, rank, cosine_bp FROM (
+              SELECT l.vec_id AS query_id, r.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                       ORDER BY CAST(ROUND(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) * 10000) AS BIGINT) DESC,
+                                r.vec_id ASC) AS rank,
+                     CAST(ROUND(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+              FROM base l JOIN base r ON l.bkt = r.bkt AND l.vec_id != r.vec_id)
+            WHERE rank <= 3""",
+        "text_quality_metrics": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   CAST(ROUND(CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0 END * 10000) AS BIGINT) AS punct_bp,
+                   CAST(ROUND(least(length(text) / 500.0, 1.0) *
+                        (1.0 - CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+                         ELSE 0 END) * 10000) AS BIGINT) AS quality_bp,
+                   {norm} AS fingerprint
+            FROM documents""",
+        "text_lang_id": _lang_id_sql(),
+        "cc_components": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
+                     CAST(1000000 + l_partkey AS BIGINT) AS dst
+              FROM lineitem WHERE l_orderkey < 300),
+            bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            reach(node, r) AS (
+              SELECT src, src FROM bi
+              UNION
+              SELECT b.src, rr.r FROM bi b JOIN reach rr ON b.dst = rr.node)
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node""",
+        # kg_pipeline_edges: intentionally no oracle — vectorized-UDF linker,
+        # non-SQL-expressible; parity proven against the sequential reference
+        # oracle in tests/test_pipeline_parity.py.
+    }

@@ -61,9 +61,44 @@ def punct_ratio(col: Column | str) -> Column:
     )
 
 
+# Language-ID heuristic: tiny per-language stopword lists; prediction =
+# language with the strictly highest distinct-stopword hit count, checked
+# in fixed order (en, es, fr, de, zh) so ties resolve deterministically —
+# the same case/when chain is expressible in ANSI SQL for the oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "los", "por", "una"],
+    "fr": ["le", "la", "et", "les", "des", "une", "dans", "pour"],
+    "de": ["der", "die", "und", "das", "ein", "mit", "von", "nicht"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
+}
+LANG_ORDER = ["en", "es", "fr", "de", "zh"]
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predict language by distinct-stopword overlap; 'und' if no hits."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+"))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
 def quality_score(col: Column | str) -> Column:
     """Simple document quality heuristic in [0,1]: rewards moderate length,
     penalizes punctuation soup.  Pure column arithmetic."""
     c = F.col(col) if isinstance(col, str) else col
     length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
-    return F.round(length_term * (F.lit(1.0) - punct_ratio(c)), 4)
+    # no intermediate rounding: keeps the expression bit-identical with the
+    # ANSI-SQL oracle (engines differ in round-to-N-digit ulp behavior)
+    return length_term * (F.lit(1.0) - punct_ratio(c))

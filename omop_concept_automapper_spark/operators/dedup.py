@@ -1,0 +1,219 @@
+"""Deduplication operators over a documents table (training-data pipeline ops).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM, whole-stage
+codegen) — hashes are md5-based so an ANSI-SQL oracle (DuckDB) reproduces
+them bit-for-bit.  Each operator scales shuffle-free or with one keyed
+shuffle:
+
+* exact:      map-side fingerprint -> groupBy(fingerprint)          (1 shuffle)
+* minhash:    map-only signature; LSH banding -> self-join on bucket
+* simhash:    explode tokens -> salt-able groupBy(doc)              (1 shuffle)
+* ngram-jaccard: blocked self-join (block = (lang, size bucket)) so the
+  candidate pair space stays bounded — never an unblocked O(n^2)
+* embedding near-dup: blocked by label, cosine via zip_with/aggregate
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.functions.text import fingerprint, normalize_text
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Lowercased whitespace tokens of trimmed text (matches DuckDB's
+    regexp_split_to_array(trim(lower(text)), '\\s+'))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Group documents by content fingerprint; keep min doc_id as canonical."""
+    return (
+        docs.select("doc_id", fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def _shingles(col: Column, size: int = 3) -> Column:
+    toks = tokens_col(col)
+    n = F.size(toks)
+    return F.when(n >= size, F.transform(
+        F.sequence(F.lit(1), n - size + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 8, shingle_size: int = 3
+) -> DataFrame:
+    """Map-only MinHash: signature[j] = min over shingles of md5(j || ':' || s).
+
+    md5-string min (lexicographic) is identical in Spark and ANSI SQL, so
+    the signature is oracle-checkable bit-for-bit.
+    """
+    sh = _shingles(F.col("text"), shingle_size)
+
+    def hash_with(j: int):
+        # NOTE: must return a 1-arg lambda — pyspark passes the array INDEX
+        # as the second argument to 2-arg higher-order-function lambdas
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hash_with(j))) for j in range(n_hashes)]
+    )
+    return docs.select("doc_id", sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    One shuffle on (band, bucket); candidate pairs are emitted distinct with
+    doc_id_1 < doc_id_2.  This is the scale path for near-dup at 100 TB:
+    bucket sizes stay small so the self-join never goes quadratic globally.
+    """
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("signature")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_1"),
+            F.col("r.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over distinct tokens: bit b set iff sum over tokens of
+    (+1 if md5-derived bit b set else -1) > 0.
+
+    Implemented as explode -> one md5 per token -> per-bit signed
+    contributions -> groupBy(doc_id) sum -> recombine.  One shuffle,
+    partial aggregation map-side.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    tok = tok.select("doc_id", h.alias("h"))
+    contribs = [
+        F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias(f"b{b}")
+        for b in range(bits)
+    ]
+    sums = tok.select("doc_id", *contribs).groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return sums.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    size_bucket: int = 100,
+) -> DataFrame:
+    """Blocked pairwise token-set Jaccard.
+
+    Blocking key = (lang, n_chars // size_bucket) keeps each block small so
+    the self-join is bounded (never an all-pairs cross join).  Jaccard is
+    emitted as basis points (int) so the oracle compare is float-safe.
+    """
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / size_bucket).cast("int").alias("size_bkt"),
+        F.array_distinct(tokens_col("text")).alias("toks"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.lang") == F.col("r.lang"))
+        & (F.col("l.size_bkt") == F.col("r.size_bkt"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))
+    jacc = inter.cast("double") / union
+    return pairs.select(
+        F.col("l.doc_id").alias("doc_id_1"),
+        F.col("r.doc_id").alias("doc_id_2"),
+        F.round(jacc * 10000).cast("long").alias("jaccard_bp"),
+    ).where(F.col("jaccard_bp") >= int(threshold * 10000))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (JVM-side)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates, blocked by label.
+
+    At scale the blocking key would be an LSH bucket (see similarity.py);
+    label-blocking demonstrates the same bounded self-join shape.
+    """
+    base = embeddings.select("vec_id", "label", "embedding")
+    l, r = base.alias("l"), base.alias("r")
+    cos = cosine_col(F.col("l.embedding"), F.col("r.embedding"))
+    return (
+        l.join(
+            r,
+            (F.col("l.label") == F.col("r.label"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_id_1"),
+            F.col("r.vec_id").alias("vec_id_2"),
+            F.round(cos * 10000).cast("long").alias("cosine_bp"),
+        )
+        .where(F.col("cosine_bp") >= int(threshold * 10000))
+    )

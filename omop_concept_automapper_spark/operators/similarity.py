@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``ann_topk`` — brute-force cosine top-k for one query vector, pure column
+  expressions + TakeOrderedAndProject (no UDF).
+* ``knn_join`` — batch k-NN join: broadcast query matrix, blocked numpy
+  matmul inside mapInPandas (same kernel family as operators/knn.py) —
+  the scale path: each data partition streams past the broadcast queries,
+  no shuffle at all; results reduce with a per-query top-k.
+* ``lsh_bucketed_topk`` — sign-of-hyperplane (first ``n_planes`` dims)
+  coarse bucketing, then top-k WITHIN bucket: the IVF-style scale variant
+  where the full cross product is replaced by a bucket-equijoin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from omop_concept_automapper_spark.operators.dedup import cosine_col
+
+
+def ann_topk(
+    embeddings: DataFrame, query_vector: list[float], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector; ties -> vec_id asc."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+    scored = embeddings.select(
+        "vec_id",
+        F.round(cosine_col(F.col("embedding"), qcol) * 10000)
+        .cast("long")
+        .alias("cosine_bp"),
+    )
+    return scored.orderBy(F.desc("cosine_bp"), F.asc("vec_id")).limit(k)
+
+
+def knn_join(
+    spark: SparkSession,
+    queries: pd.DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """k nearest neighbors (cosine) of each query vector among ``embeddings``.
+
+    ``queries``: pandas (query_id int, vector list[float]).  The query
+    matrix is broadcast; each partition of the (huge) embeddings table is
+    scored locally and emits its partial per-query top-k; a final
+    groupBy(query_id) top-k merge reduces partials — the standard
+    distributed exact-kNN plan.
+    """
+    qids = queries["query_id"].to_numpy(np.int64)
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in queries["vector"]])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qmat = qmat / qnorm
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+            enorm[enorm == 0] = 1.0
+            emat = emat / enorm
+            scores = qmat_ @ emat.T  # (n_q, n_e)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            out = []
+            for qi in range(scores.shape[0]):
+                row = scores[qi]
+                kk = min(k, row.size)
+                # partial top-k within this partition's batch
+                part = np.argpartition(row, -kk)[-kk:]
+                for j in part:
+                    out.append((int(qids_[qi]), int(vec_ids[j]), float(row[j])))
+            yield pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+
+    partials = embeddings.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.round(F.col("cosine") * 10000).cast("long").alias("cosine_bp"),
+        )
+    )
+
+
+def sign_bucket(col, n_planes: int = 4):
+    """Coarse LSH bucket: concatenated signs of the first n_planes dims."""
+    parts = [
+        F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_planes)
+    ]
+    return F.concat(*parts)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, k: int = 3, n_planes: int = 4
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates restricted to the same sign
+    bucket (bucket-equijoin instead of cross join)."""
+    base = embeddings.select(
+        "vec_id", "embedding", sign_bucket(F.col("embedding"), n_planes).alias("bkt")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cos = cosine_col(F.col("l.embedding"), F.col("r.embedding"))
+    scored = l.join(
+        r, (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.vec_id") != F.col("r.vec_id"))
+    ).select(
+        F.col("l.vec_id").alias("query_id"),
+        F.col("r.vec_id").alias("vec_id"),
+        F.round(cos * 10000).cast("long").alias("cosine_bp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine_bp")
+    )
