@@ -1,0 +1,95 @@
+"""Driver benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] plus the KG-pipeline throughput run.
+
+Prints exactly ONE JSON line:
+  {"metric": "e2e_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extra fields...}
+
+Extra fields carry the north-rule numbers: turns/sec for the
+extraction+linking pipeline and the KG phase breakdown.  The two-
+parallelism scaling evidence lives in bench_scaling.py / BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_revenue_topn",
+    "j2_nation_revenue",
+    "j4_order_lineitem_counts",
+    "w1_top3_orders_per_customer",
+    "w2_event_sequence",
+    "dedup_exact",
+    "dedup_minhash_sigs",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "ann_knn_join",
+    "ann_lsh_bucketed",
+    "text_quality_metrics",
+    "text_lang_id",
+    "cc_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "200000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entry_mod
+    from omop_concept_automapper_spark.benchkit import force, run_kg_bench
+    from omop_concept_automapper_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus)
+    qmap = entry_mod.queries()
+
+    # warm the JVM/python-worker pools once (untimed)
+    force(qmap["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qmap[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    work = tempfile.mkdtemp(prefix="kg_bench_")
+    try:
+        kg = run_kg_bench(
+            spark,
+            transcripts_path=os.path.join(work, "transcripts"),
+            out_dir=os.path.join(work, "out"),
+            n_conversations=kg_convs,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    timings["kg_extract_link"] = kg["sec_extract_link"]
+    timings["kg_canonicalize"] = kg["sec_canonicalize"]
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "kg_n_turns": kg["n_turns"],
+        "kg_turns_per_sec": kg["turns_per_sec_extract_link"],
+        "kg_turns_per_sec_e2e": kg["turns_per_sec_e2e"],
+        "kg_edges": kg["edges"],
+    }
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Benchmark helpers: timed KG-pipeline runs + query timing.
+
+Timing protocol:
+* transcripts are materialized to parquet first (input creation is not part
+  of the measured pipeline — the production input is an existing Iceberg
+  table);
+* ``extract+link`` phase = scan -> mention detect -> salted freq groupBy ->
+  broadcast knn + rerank -> confidence gate -> edges parquet write.  This is
+  the turns-proportional work the north-rule throughput metric covers;
+* ``canonicalize`` (CC + nodes write) is timed separately — on the fixture
+  lexicon its size is constant in corpus size, so folding it into turns/sec
+  would let fixed job-scheduling latency masquerade as (anti-)scaling;
+* queries are forced with the ``noop`` sink so column pruning can't skip
+  computed columns (``count()`` would).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omop_concept_automapper_spark.fixtures.transcripts import (
+    transcripts_dataframe_distributed,
+)
+from omop_concept_automapper_spark.fixtures.vocabulary import (
+    build_lexicon,
+    vocab_dataframes,
+)
+from omop_concept_automapper_spark.operators.knn import link_mentions
+from omop_concept_automapper_spark.plans.graph import (
+    accepted_mappings,
+    build_edges,
+    build_nodes,
+)
+from omop_concept_automapper_spark.plans.mentions import (
+    build_mention_table,
+    extract_mention_occurrences,
+)
+from omop_concept_automapper_spark.plans.vocab_prep import build_vocab_embeddings
+
+
+def force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn) -> tuple[float, object]:
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def materialize_transcripts(
+    spark: SparkSession, path: str, n_conversations: int, seed: int = 42
+) -> int:
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = transcripts_dataframe_distributed(spark, n_conversations, seed)
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def run_kg_bench(
+    spark: SparkSession,
+    transcripts_path: str,
+    out_dir: str,
+    n_conversations: int,
+    seed: int = 42,
+) -> dict:
+    n_turns = materialize_transcripts(spark, transcripts_path, n_conversations, seed)
+    lexicon = build_lexicon()
+
+    # vocab prep (constant-size dimension work)
+    t_vocab, vocab_pdf = timed(
+        lambda: build_vocab_embeddings(*vocab_dataframes(spark, seed))
+        .select("concept_id", "concept_name", "domain_id", "atc7_codes", "vector")
+        .toPandas()
+    )
+
+    transcripts = spark.read.parquet(transcripts_path)
+
+    # Warm every python worker + whole-stage codegen before timing (untimed):
+    # compiles the detection regex in each worker and initializes the Arrow
+    # serialization path, so the measurement reflects steady-state throughput
+    # rather than one-time pool startup.
+    cores = spark.sparkContext.defaultParallelism
+    warm = spark.range(0, cores * 256, numPartitions=cores).selectExpr(
+        "'warmup mention of acute bronchitis noted' as text",
+        "cast(id as string) as conv_id",
+        "cast(id as int) as turn_idx",
+    )
+    extract_mention_occurrences(warm, [e["mention_text"] for e in lexicon]).count()
+
+    def extract_link():
+        occ = extract_mention_occurrences(
+            transcripts, [e["mention_text"] for e in lexicon]
+        )
+        mentions = build_mention_table(spark, occ, lexicon)
+        links = link_mentions(spark, mentions, vocab_pdf)
+        links.write.mode("overwrite").parquet(os.path.join(out_dir, "links"))
+        accepted = accepted_mappings(
+            spark.read.parquet(os.path.join(out_dir, "links")), threshold=8
+        )
+        edges = build_edges(accepted, None)
+        edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))
+        return accepted
+
+    t_link, accepted = timed(extract_link)
+
+    def canonicalize():
+        # reads the materialized links stage — no recompute of the scan
+        nodes = build_nodes(accepted)
+        nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
+
+    t_canon, _ = timed(canonicalize)
+
+    edges_n = spark.read.parquet(os.path.join(out_dir, "edges")).count()
+    return {
+        "n_conversations": n_conversations,
+        "n_turns": n_turns,
+        "edges": edges_n,
+        "sec_vocab_prep": round(t_vocab, 3),
+        "sec_extract_link": round(t_link, 3),
+        "sec_canonicalize": round(t_canon, 3),
+        "turns_per_sec_extract_link": round(n_turns / t_link, 1),
+        "turns_per_sec_e2e": round(n_turns / (t_link + t_canon), 1),
+    }

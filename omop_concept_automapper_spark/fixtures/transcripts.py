@@ -59,30 +59,38 @@ _TEMPLATES = [
 HOT_MENTION_COUNT = 3  # first N lexicon entries become hot keys (skew)
 
 
+def _conv_rows(conv_i: int, seed: int, lexicon: list[str]) -> list[tuple]:
+    """Rows for one conversation; rng seeded per-conv so the sequential and
+    distributed generators emit byte-identical data."""
+    rng = random.Random(f"{seed}:{conv_i}")
+    hot = lexicon[:HOT_MENTION_COUNT]
+    conv_id = f"conv-{conv_i:06d}"
+    rows = []
+    n_turns = rng.randint(2, 12)
+    for turn_idx in range(n_turns):
+        if rng.random() < 0.10:
+            role, tool = "tool", rng.choice(_TOOLS)
+        else:
+            role, tool = ("user" if turn_idx % 2 == 0 else "assistant"), None
+        n_mentions = rng.choice([0, 1, 1, 2, 2, 3])
+        parts = [rng.choice(_FILLERS)]
+        for _ in range(n_mentions):
+            # hot mentions dominate (skew for salting tests)
+            mention = rng.choice(hot) if rng.random() < 0.45 else rng.choice(lexicon)
+            parts.append(rng.choice(_TEMPLATES).format(m=mention))
+        parts.append(rng.choice(_FILLERS))
+        ts = _EPOCH + timedelta(seconds=conv_i * 60 + turn_idx)
+        rows.append((conv_id, turn_idx, role, " ".join(parts), tool, ts))
+    return rows
+
+
 def generate_transcript_rows(
     n_conversations: int = 200, seed: int = 42
 ) -> list[tuple]:
-    rng = random.Random(seed)
     lexicon = [e["mention_text"] for e in build_lexicon(seed=42)]
-    hot = lexicon[:HOT_MENTION_COUNT]
     rows = []
     for i in range(n_conversations):
-        conv_id = f"conv-{i:06d}"
-        n_turns = rng.randint(2, 12)
-        for turn_idx in range(n_turns):
-            if rng.random() < 0.10:
-                role, tool = "tool", rng.choice(_TOOLS)
-            else:
-                role, tool = ("user" if turn_idx % 2 == 0 else "assistant"), None
-            n_mentions = rng.choice([0, 1, 1, 2, 2, 3])
-            parts = [rng.choice(_FILLERS)]
-            for _ in range(n_mentions):
-                # hot mentions dominate (skew for salting tests)
-                mention = rng.choice(hot) if rng.random() < 0.45 else rng.choice(lexicon)
-                parts.append(rng.choice(_TEMPLATES).format(m=mention))
-            parts.append(rng.choice(_FILLERS))
-            ts = _EPOCH + timedelta(seconds=i * 60 + turn_idx)
-            rows.append((conv_id, turn_idx, role, " ".join(parts), tool, ts))
+        rows.extend(_conv_rows(i, seed, lexicon))
     return rows
 
 
@@ -91,3 +99,35 @@ def transcripts_dataframe(
 ) -> DataFrame:
     rows = generate_transcript_rows(n_conversations, seed)
     return spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+
+
+def transcripts_dataframe_distributed(
+    spark: SparkSession,
+    n_conversations: int,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scale-out generator: conversations synthesized on executors via
+    mapInPandas over spark.range — identical rows to the sequential
+    generator (per-conv rng), so bench data is reproducible at any
+    parallelism.  This stands in for the production Iceberg transcripts
+    scan (range-partitioned on conv_id: spark.range is already a
+    contiguous range partitioning of conv ordinals)."""
+    import pandas as pd
+
+    lexicon = [e["mention_text"] for e in build_lexicon(seed=42)]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for conv_i in pdf["id"]:
+                rows.extend(_conv_rows(int(conv_i), seed, lexicon))
+            out = pd.DataFrame(rows, columns=cols)
+            out["ts"] = pd.to_datetime(out["ts"], utc=True)
+            yield out
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    return spark.range(0, n_conversations, numPartitions=parts).mapInPandas(
+        gen, schema=TRANSCRIPTS_SCHEMA
+    )

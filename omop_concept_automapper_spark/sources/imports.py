@@ -1,0 +1,111 @@
+"""Source/sink operators mirroring the reference's ingest surface (SURVEY §2.1).
+
+S1  CSV source-concept import   (reference src/backend/db/methods/imports.py:10-117)
+S2  OMOP vocab bulk upsert      (imports.py:182-283)
+S3  vocab full replace          (imports.py:286-343)
+S6  mapped-concepts CSV export  (src/frontend/ui/commit.py:60-68)
+S7  vocabulary delete           (imports.py:441-452)
+
+All re-expressed as declarative reads + snapshot-table writes; the
+reference's manual drop-index/COPY/recreate-index dance (X2) disappears —
+columnar appends have no incremental index to maintain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.catalog import Table
+
+REQUIRED_SOURCE_COLUMNS = ["source_value", "source_concept_name", "freq"]
+
+
+def read_source_concepts_csv(
+    spark: SparkSession, path: str, source_vocabulary_id: int
+) -> DataFrame:
+    """S1: CSV import with the reference's cleaning rules.
+
+    * required columns validated (imports.py:15-26);
+    * ``freq`` NaN -> 1, cast int (imports.py:18-19);
+    * deterministic ``source_id`` = xxhash64(source_value, name, vocab) —
+      resume-stable, unlike SERIAL.
+    """
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    missing = [c for c in REQUIRED_SOURCE_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing required columns: {missing}")
+    out = df.select(
+        F.xxhash64(
+            F.col("source_value"),
+            F.col("source_concept_name"),
+            F.lit(source_vocabulary_id),
+        ).alias("source_id"),
+        "source_value",
+        "source_concept_name",
+        F.lit(source_vocabulary_id).alias("source_vocabulary_id"),
+        F.coalesce(F.col("freq").cast("int"), F.lit(1)).alias("freq"),
+        F.col("concept_id") if "concept_id" in df.columns else F.lit(None).cast(
+            "string"
+        ).alias("concept_id"),
+    )
+    return out
+
+
+def parse_premapped_concept_ids(
+    source_concepts: DataFrame, concept: DataFrame
+) -> DataFrame:
+    """Semicolon-separated pre-mappings -> validated (source_id, concept_id).
+
+    Mirrors imports.py:42-49 (split + per-token trim, digit check) and
+    imports.py:83-97 (keep only ids that exist in ``concept`` — a semi-join).
+    """
+    exploded = (
+        source_concepts.where(F.col("concept_id").isNotNull())
+        .select(
+            "source_id",
+            F.explode(
+                F.transform(F.split("concept_id", ";"), lambda x: F.trim(x))
+            ).alias("cid"),
+        )
+        .where(F.col("cid").rlike("^[0-9]+$"))
+        .select("source_id", F.col("cid").cast("int").alias("concept_id"))
+    )
+    return exploded.join(
+        concept.select("concept_id"), "concept_id", "left_semi"
+    ).select("source_id", "concept_id").distinct()
+
+
+def bulk_load_vocab_csv(
+    spark: SparkSession, path: str, schema
+) -> DataFrame:
+    """S2/S3 read side: OMOP vocabulary TSV (tab-separated, header,
+    quote disabled via an unused control char — mirrors the reference's
+    COPY ... DELIMITER E'\\t' QUOTE E'\\b', imports.py:207)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("quote", "\b")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def upsert_concepts(table: Table, fresh: DataFrame) -> None:
+    """S2: MERGE-style upsert on concept_id (ON CONFLICT DO UPDATE)."""
+    table.merge_upsert(fresh, keys=["concept_id"])
+
+
+def replace_table(table: Table, fresh: DataFrame) -> None:
+    """S3: TRUNCATE + COPY == snapshot overwrite."""
+    table.overwrite(fresh)
+
+
+def delete_vocabulary(table: Table, source_vocabulary_id: int) -> None:
+    """S7: row-level delete of one source vocabulary."""
+    table.delete_where(F.col("source_vocabulary_id") == source_vocabulary_id)
+
+
+def export_mapped_csv(mapped: DataFrame, path: str) -> None:
+    """S6: export the review join (small result) as a single CSV."""
+    mapped.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

@@ -1,0 +1,75 @@
+"""Incremental transcript ingestion via Structured Streaming.
+
+The reference's only incremental pattern is the resumable embedding batch
+loop (ST1, reference src/backend/db/methods/embeddings.py:14-50).  The
+engine's primary resume mechanism is the stage-manifest anti-join
+(plans/runner.py) — this module adds the Structured-Streaming variant for
+continuously-arriving transcripts: a file-source stream with
+``Trigger.AvailableNow`` drains whatever landed since the last checkpoint
+and stops, giving exactly-once ingestion into the transcripts table plus a
+per-microbatch mention-occurrence extraction if requested.
+
+At production scale the same code points at an object-store landing zone;
+the checkpoint dir provides the offset log (the analog of the reference's
+``embedded_concepts`` marker table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omop_concept_automapper_spark.fixtures.transcripts import TRANSCRIPTS_SCHEMA
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> None:
+    """Drain all unprocessed files from ``landing_dir`` into ``target_dir``.
+
+    ``transform``: optional DataFrame -> DataFrame applied per microbatch
+    (e.g. mention extraction) — must be deterministic for exactly-once
+    replays to be idempotent.
+    """
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+    if transform is not None:
+        stream = transform(stream)
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    query.awaitTermination()
+
+
+def streaming_mention_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    surface_forms: list[str],
+    checkpoint_dir: str,
+    output_dir: str,
+) -> None:
+    """Windowless streaming aggregation demo: detect mentions per microbatch
+    and append occurrence rows; counts are derived downstream (append mode
+    keeps the sink idempotent under replay)."""
+    from omop_concept_automapper_spark.plans.mentions import (
+        extract_mention_occurrences,
+    )
+
+    ingest_available_now(
+        spark,
+        landing_dir,
+        output_dir,
+        checkpoint_dir,
+        transform=lambda df: extract_mention_occurrences(df, surface_forms),
+    )

@@ -1,0 +1,123 @@
+"""Physical-plan quality gates (SURVEY.md §4): these assert the *shape* of
+the plans Catalyst produces — pushdown reaching the scan, broadcast joins
+for dims, partial aggregation, map-only extraction — so a regression that
+silently introduces an extra shuffle or full-width scan fails CI."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.where(F.col("doc_id") < 10).select("doc_id", "text")
+    plan = plan_str(q)
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan
+    # column pruning: lang/source/n_chars must not be read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    q = entry_mod.queries()["j2_nation_revenue"](spark, SF_DIR)
+    plan = plan_str(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_mapside(spark):
+    q = entry_mod.queries()["q1_pricing_summary"](spark, SF_DIR)
+    simple = plan_str(q, mode="simple")
+    # two-phase hash agg: partial before the exchange, final after
+    assert simple.count("HashAggregate") >= 2
+    assert "partial_sum" in simple or "partial" in simple.lower()
+    assert "WholeStageCodegen" in plan_str(q, mode="codegen")
+
+
+def test_mention_extraction_is_map_only(spark):
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.mentions import (
+        extract_mention_occurrences,
+    )
+
+    t = transcripts_dataframe(spark, n_conversations=5)
+    occ = extract_mention_occurrences(
+        t, [e["mention_text"] for e in build_lexicon()]
+    )
+    simple = plan_str(occ, mode="simple")
+    assert "Exchange" not in simple  # detection pipelines with the scan
+
+
+def test_anti_join_is_broadcast_or_hash(spark):
+    q = entry_mod.queries()["j1_customers_without_orders"](spark, SF_DIR)
+    plan = plan_str(q, mode="simple")
+    assert "LeftAnti" in plan
+
+
+def test_topn_uses_take_ordered(spark):
+    q = entry_mod.queries()["o3_top20_orders"](spark, SF_DIR)
+    plan = plan_str(q, mode="simple")
+    # global sort+limit must compile to TakeOrderedAndProject, not full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_adaptive_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_linker_single_pass_no_extra_shuffle(spark):
+    """links plan: exactly the salted two-phase agg exchanges + the
+    mapInPandas — no shuffle between retrieval and rerank (they fuse)."""
+    import pandas as pd
+
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import (
+        build_lexicon,
+        vocab_dataframes,
+    )
+    from omop_concept_automapper_spark.operators.knn import link_mentions
+    from omop_concept_automapper_spark.plans.mentions import (
+        build_mention_table,
+        extract_mention_occurrences,
+    )
+    from omop_concept_automapper_spark.plans.vocab_prep import (
+        build_vocab_embeddings,
+    )
+
+    lexicon = build_lexicon()
+    vocab_pdf = (
+        build_vocab_embeddings(*vocab_dataframes(spark))
+        .select("concept_id", "concept_name", "domain_id", "atc7_codes", "vector")
+        .toPandas()
+    )
+    t = transcripts_dataframe(spark, n_conversations=5)
+    occ = extract_mention_occurrences(t, [e["mention_text"] for e in lexicon])
+    mentions = build_mention_table(spark, occ, lexicon)
+    links = link_mentions(spark, mentions, vocab_pdf)
+    simple = plan_str(links, mode="simple")
+    # exchanges: salt partial->final (2) + broadcast for the lexicon meta join;
+    # retrieval+rerank contribute ZERO additional exchanges
+    n_exchanges = simple.count("Exchange")
+    assert n_exchanges <= 3, simple
+    assert simple.count("MapInPandas") == 1
