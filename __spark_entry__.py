@@ -263,6 +263,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_kept")
         )
 
+    def q6_filtered_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        filtered = li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        return filtered.agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    def a2_conditional_counts(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        )
+
+    def o2_pagination(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.orderBy("o_orderkey")
+            .offset(100)
+            .limit(20)
+            .select("o_orderkey", "o_orderstatus")
+        )
+
     # ------------------------------------------------------ dedup suite
     def dedup_exact(spark, sf):
         return exact_duplicates(_t(spark, sf, "documents"))
@@ -382,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_regex_extract_events": p6_regex_extract_events,
         "f_scalar_pack": f_scalar_pack,
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
+        "q6_filtered_revenue": q6_filtered_revenue,
+        "a2_conditional_counts": a2_conditional_counts,
+        "o2_pagination": o2_pagination,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -533,6 +568,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE lower(p_type) NOT LIKE '%brass%'
               AND lower(p_type) NOT LIKE '%copper%'
             GROUP BY p_brand""",
+        "q6_filtered_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24""",
+        "a2_conditional_counts": """
+            SELECT o_orderpriority, COUNT(*) AS total,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+            FROM orders GROUP BY o_orderpriority""",
+        "o2_pagination": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            ORDER BY o_orderkey LIMIT 20 OFFSET 100""",
         "dedup_exact": f"""
             SELECT {norm} AS fingerprint, COUNT(doc_id) AS n_docs,
                    MIN(doc_id) AS keep_doc_id
