@@ -222,6 +222,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "event_id", F.row_number().over(w).alias("seq")
         )
 
+    def w3_lag_delta(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        prev = F.lag(F.col("value").cast("decimal(18,2)")).over(w)
+        return e.select(
+            "user_id",
+            "event_id",
+            (F.col("value").cast("decimal(18,2)") - prev)
+            .cast("double")
+            .alias("delta"),
+        )
+
+    def w4_rolling_sum(spark, sf):
+        e = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.asc("ts"), F.asc("event_id"))
+            .rowsBetween(-3, 0)
+        )
+        return e.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("rolling_sum"),
+        )
+
+    def a11_rollup_counts(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.rollup("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
     def o3_top20_orders(spark, sf):
         o = _t(spark, sf, "orders")
         return (
@@ -410,6 +444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_status_rollup": a7_status_rollup,
         "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
         "w2_event_sequence": w2_event_sequence,
+        "w3_lag_delta": w3_lag_delta,
+        "w4_rolling_sum": w4_rolling_sum,
+        "a11_rollup_counts": a11_rollup_counts,
         "o3_top20_orders": o3_top20_orders,
         "p6_regex_extract_events": p6_regex_extract_events,
         "f_scalar_pack": f_scalar_pack,
@@ -547,6 +584,23 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY user_id
                      ORDER BY ts ASC, event_id ASC) AS seq
             FROM events""",
+        "w3_lag_delta": """
+            SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) -
+                        LAG(CAST(value AS DECIMAL(18,2))) OVER
+                          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                        AS DOUBLE) AS delta
+            FROM events""",
+        "w4_rolling_sum": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS rolling_sum
+            FROM events""",
+        "a11_rollup_counts": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         "o3_top20_orders": """
             SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",

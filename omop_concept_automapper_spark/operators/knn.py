@@ -73,13 +73,19 @@ def build_vocab_index(vocab_pdf: pd.DataFrame) -> dict:
         for code in codes if codes is not None else []:
             atc7_inverted.setdefault(code, []).append(i)
 
-    return {
+    index = {
         "matrix": matrix,
         "concept_id": pdf["concept_id"].to_numpy(np.int64),
         "concept_name": pdf["concept_name"].to_numpy(object),
         "domain_id": pdf["domain_id"].to_numpy(object),
+        "atc7_codes": [list(c) if c is not None else [] for c in pdf["atc7_codes"]],
         "atc7_inverted": {k: np.asarray(v) for k, v in atc7_inverted.items()},
     }
+    # optional metadata columns (interactive search filters, lifecycle 3.3)
+    for extra in ("vocabulary_id", "concept_class_id", "concept_code"):
+        if extra in pdf.columns:
+            index[extra] = pdf[extra].to_numpy(object)
+    return index
 
 
 def _topk_masked(
@@ -104,14 +110,61 @@ def _topk_masked(
     return part[order][:k]
 
 
-def _score_block(q: np.ndarray, matrix: np.ndarray, block_rows: int) -> np.ndarray:
-    """Blocked Q @ M.T so executor memory stays bounded at any vocab size."""
-    n = matrix.shape[0]
-    out = np.empty((q.shape[0], n), dtype=np.float32)
-    for start in range(0, n, block_rows):
-        end = min(start + block_rows, n)
-        out[:, start:end] = q @ matrix[start:end].T
-    return out
+_IDX_BITS = 24  # supports vocabularies up to 2^24 (~16.7M) concepts
+
+
+def _order_keys(scores: np.ndarray, col_idx: np.ndarray) -> np.ndarray:
+    """Composite int64 sort key encoding (score DESC, index ASC) exactly.
+
+    float32 bits are mapped to a monotone signed-int order (IEEE trick),
+    shifted left, and the complemented column index packed into the low
+    bits — so a plain integer max/argpartition realizes the pinned
+    (-score, concept_id) tie rule with NO tie ambiguity (keys are unique).
+    This is what makes blocked / sharded top-k merges exact (SURVEY.md hard
+    part (f)).
+    """
+    b = np.ascontiguousarray(scores, dtype=np.float32).view(np.int32).astype(np.int64)
+    mono = np.where(b >= 0, b, np.int64(-2147483648) - b)
+    return (mono << _IDX_BITS) | ((np.int64(1 << _IDX_BITS) - 1) - col_idx)
+
+
+def _decode_idx(keys: np.ndarray) -> np.ndarray:
+    return (np.int64(1 << _IDX_BITS) - 1) - (keys & np.int64((1 << _IDX_BITS) - 1))
+
+
+def _blocked_topk(
+    q: np.ndarray,
+    matrix: np.ndarray,
+    k: int,
+    base_mask: np.ndarray | None,
+    block_rows: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact streaming top-k: score the vocab in row blocks, keep a running
+    per-query top-k of composite keys.  Peak memory is
+    O(batch × block_rows), never O(batch × vocab) — the property that lets
+    one executor scan a multi-million-concept index.  Returns
+    (keys (n,k) int64 sorted desc, count of valid candidates per row)."""
+    n_q, n_v = q.shape[0], matrix.shape[0]
+    run = np.full((n_q, 0), np.iinfo(np.int64).min, dtype=np.int64)
+    neg_inf_key = _order_keys(np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64))[0, 0]
+    for start in range(0, n_v, block_rows):
+        end = min(start + block_rows, n_v)
+        s = q @ matrix[start:end].T
+        if base_mask is not None:
+            s[:, ~base_mask[start:end]] = -np.inf
+        keys = _order_keys(s, np.arange(start, end, dtype=np.int64))
+        kk = min(k, end - start)
+        if end - start > kk:
+            part = np.argpartition(keys, -kk, axis=1)[:, -kk:]
+            keys = np.take_along_axis(keys, part, axis=1)
+        cat = np.concatenate([run, keys], axis=1)
+        if cat.shape[1] > k:
+            sel = np.argpartition(cat, -k, axis=1)[:, -k:]
+            cat = np.take_along_axis(cat, sel, axis=1)
+        run = cat
+    run = -np.sort(-run, axis=1)  # final order: score desc, concept_id asc
+    valid_counts = (run > (neg_inf_key | np.int64((1 << _IDX_BITS) - 1))).sum(axis=1)
+    return run, valid_counts
 
 
 def link_batch(
@@ -138,9 +191,11 @@ def link_batch(
     if target_domains:
         base_mask = np.isin(index["domain_id"], np.asarray(target_domains, object))
 
-    scores_all = _score_block(q, matrix, block_rows)
-    if base_mask is not None:
-        scores_all[:, ~base_mask] = -np.inf
+    k_max = max(k_standard, k_drug)
+    top_keys, _ = _blocked_topk(q, matrix, k_max, base_mask, block_rows)
+    neg_inf_key = _order_keys(
+        np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64)
+    )[0, 0]
 
     for row_i, (mention_id, text, is_drug, atc7) in enumerate(
         zip(pdf["mention_id"], pdf["mention_text"], pdf["is_drug"], pdf["atc7"])
@@ -149,20 +204,32 @@ def link_batch(
         k = k_drug if is_drug else k_standard
         method = "auto_drug" if is_drug else "auto_standard"
         try:
-            row_scores = scores_all[row_i]
             if is_drug and atc7:
                 # MatchAny over the atc7_codes ARRAY payload = any-overlap:
-                # restrict candidates to concepts carrying this code
+                # restrict candidates to concepts carrying this code —
+                # scored directly via the inverted index (tiny subset)
                 allowed = index["atc7_inverted"].get(atc7)
-                restricted = np.full_like(row_scores, -np.inf)
-                if allowed is not None and allowed.size:
-                    restricted[allowed] = row_scores[allowed]
-                    if base_mask is not None:
-                        restricted[~base_mask] = -np.inf
-                row_scores = restricted
-            top = _topk_masked(row_scores, concept_ids, k)
-            if top.size == 0:
-                continue  # zero hits -> no mapping (auto_mapper.py:76-77)
+                if allowed is not None and base_mask is not None:
+                    allowed = allowed[base_mask[allowed]]
+                if allowed is None or allowed.size == 0:
+                    continue  # zero hits -> no mapping (auto_mapper.py:76-77)
+                sub_scores = matrix[allowed] @ q[row_i]
+                sub_top = _topk_masked(sub_scores, concept_ids[allowed], k)
+                top = allowed[sub_top]
+                row_scores_of = {
+                    int(a): float(s)
+                    for a, s in zip(allowed[sub_top], sub_scores[sub_top])
+                }
+            else:
+                keys = top_keys[row_i]
+                keys = keys[keys > neg_inf_key][:k]
+                if keys.size == 0:
+                    continue  # zero hits -> no mapping (auto_mapper.py:76-77)
+                top = _decode_idx(keys)
+                row_scores_of = {
+                    int(t): float(s)
+                    for t, s in zip(top, (matrix[top] @ q[row_i]).astype(np.float32))
+                }
             cand_names = [str(names[j]) for j in top]
             rr = rerank_scores(str(text), cand_names)
             sel = max(range(len(rr)), key=lambda i: (rr[i], -i))
@@ -172,7 +239,7 @@ def link_batch(
                 (
                     int(mention_id), str(text), is_drug, str(atc7 or ""),
                     int(concept_ids[chosen]), str(names[chosen]),
-                    float(row_scores[chosen]), int(confidence), int(k),
+                    row_scores_of[int(chosen)], int(confidence), int(k),
                     int(top.size), method,
                     [int(concept_ids[j]) for j in top], None,
                 )

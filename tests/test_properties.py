@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis): salted aggregation equivalence and
+connected-components correctness against a pure-python union-find oracle."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.operators.connected_components import (
+    connected_components,
+)
+from omop_concept_automapper_spark.operators.salted_agg import salted_agg
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_cc_matches_union_find(spark, edges):
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    expected = {n: uf.find(n) for n in {x for e in edges for x in e}}
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)),
+        min_size=1,
+        max_size=200,
+    ),
+    buckets=st.integers(1, 64),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equivalence(spark, rows, buckets):
+    df = spark.createDataFrame(
+        [(str(k), int(v), i) for i, (k, v) in enumerate(rows)],
+        "k string, v long, rid long",
+    )
+    got = {
+        r["k"]: (r["cnt"], r["total"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs=[("v", "count", "cnt"), ("v", "sum", "total"),
+                  ("v", "min", "mn"), ("v", "max", "mx")],
+            salt_cols=["rid"],
+            buckets=buckets,
+        ).collect()
+    }
+    exp = {}
+    for k, v in rows:
+        c, s, mn, mx = exp.get(str(k), (0, 0, None, None))
+        exp[str(k)] = (
+            c + 1,
+            s + v,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    assert got == exp
