@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from omop_concept_automapper_spark.operators.similarity import (
         ann_topk,
+        ivf_topk,
         knn_join,
         lsh_bucketed_topk,
     )
@@ -364,6 +365,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return knn_join(spark, qpdf, emb.where(F.col("vec_id") >= 20), k=5)
 
+    def ann_ivf_topk(spark, sf):
+        # IVF coarse-quantized ANN (k-means trainer -> rows-only check;
+        # exactness when n_probe==n_centroids is pinned in
+        # tests/test_similarity.py::test_ivf_full_probe_equals_exact)
+        emb = _t(spark, sf, "embeddings")
+        return ivf_topk(spark, emb, list(range(8)), k=5, n_centroids=16, n_probe=4)
+
     def ann_lsh_bucketed(spark, sf):
         emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
         return lsh_bucketed_topk(emb, k=3, n_planes=4)
@@ -462,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
+        "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_quality_metrics": text_quality_metrics,
         "text_lang_id": text_lang_id,

@@ -57,17 +57,23 @@ def minhash_signatures(
     md5-string min (lexicographic) is identical in Spark and ANSI SQL, so
     the signature is oracle-checkable bit-for-bit.
     """
-    sh = _shingles(F.col("text"), shingle_size)
-
-    def hash_with(j: int):
-        # NOTE: must return a 1-arg lambda — pyspark passes the array INDEX
-        # as the second argument to 2-arg higher-order-function lambdas
-        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, hash_with(j))) for j in range(n_hashes)]
+    # explode -> hash-agg shape: shingle construction runs ONCE per doc
+    # (a nested-HOF formulation re-evaluates the shingle expression per hash
+    # seed and drops out of codegen — measured 13x slower), the n_hashes
+    # md5+min aggregate map-side, and the shuffle carries only
+    # docs x n_hashes partial minima.
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), shingle_size)).alias("s")
     )
-    return docs.select("doc_id", sig.alias("signature"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
+            for j in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"h{j}" for j in range(n_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(

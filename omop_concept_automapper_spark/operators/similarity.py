@@ -100,6 +100,79 @@ def knn_join(
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate kNN: k-means coarse quantizer, search only the
+    ``n_probe`` nearest inverted lists per query.
+
+    The scale path for ANN over billions of vectors: the quantizer is
+    trained once (sampled), every vector is assigned a list id (map-only),
+    and a query touches n_probe/n_centroids of the data via a cluster-id
+    equijoin instead of a full scan.  With n_probe == n_centroids this
+    degrades to EXACT brute force (tested), so recall loss is an explicit,
+    tunable knob.  Deterministic: fixed seed, tie-break (cosine desc,
+    vec_id asc).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        "vec_id", "embedding", array_to_vector("embedding").alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("prediction").alias("cluster")
+    )
+
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    centroids = centroids / cnorm
+
+    q_rows = (
+        embeddings.where(F.col("vec_id").isin([int(i) for i in query_ids]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qv = qv / n if n > 0 else qv
+        sims = centroids @ qv
+        order = np.lexsort((np.arange(len(sims)), -sims))[:n_probe]
+        for c in order:
+            probe_pairs.append((int(r["vec_id"]), int(c)))
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cluster int")
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in q_rows],
+        "query_id long, q_embedding array<double>",
+    )
+
+    cand = (
+        probes.join(assigned, "cluster")
+        .join(F.broadcast(queries), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    cos = cosine_col(F.col("q_embedding"), F.col("embedding"))
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.round(cos * 10000).cast("long").alias("cosine_bp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_bp"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine_bp")
+    )
+
+
 def sign_bucket(col, n_planes: int = 4):
     """Coarse LSH bucket: concatenated signs of the first n_planes dims."""
     parts = [

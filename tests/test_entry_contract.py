@@ -65,8 +65,10 @@ def test_query_matches_oracle(spark, name):
 
 def test_every_query_has_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
-    # only the vectorized-UDF linker is exempt (non-SQL-expressible)
-    assert missing == {"kg_pipeline_edges"}
+    # exempt: the vectorized-UDF linker and the k-means IVF trainer —
+    # genuinely non-SQL-expressible; both are pinned by dedicated pytest
+    # oracles (sequential reference port / full-probe==exact equivalence)
+    assert missing == {"kg_pipeline_edges", "ann_ivf_topk"}
 
 
 def test_entry_smoke(spark):

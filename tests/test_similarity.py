@@ -1,0 +1,103 @@
+"""Similarity-search operator tests: exact kNN join vs brute force,
+IVF recall behavior, full-probe == exact equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.operators.similarity import (
+    ann_topk,
+    ivf_topk,
+    knn_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERY_IDS = list(range(8))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _exact_knn_numpy(emb_rows, query_ids, k):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    mat = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in query_ids:
+        qv = mat[ids == q][0]
+        sims = mat @ qv
+        sims[ids == q] = -np.inf
+        order = np.lexsort((ids, -sims))
+        out[q] = [int(ids[j]) for j in order[:k]]
+    return out
+
+
+def test_knn_join_matches_numpy(spark, emb):
+    rows = emb.collect()
+    expected = _exact_knn_numpy(rows, QUERY_IDS, k=5)
+    qpdf = pd.DataFrame(
+        {
+            "query_id": QUERY_IDS,
+            "vector": [
+                next(r["embedding"] for r in rows if r["vec_id"] == q)
+                for q in QUERY_IDS
+            ],
+        }
+    )
+    got_df = knn_join(spark, qpdf, emb.where(~F.col("vec_id").isin(QUERY_IDS)), k=5)
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    got = {q: [v for _, v in sorted(vs)] for q, vs in got.items()}
+    # expected excludes query ids themselves from candidates
+    expected_excl = _exact_knn_numpy(
+        [r for r in rows if r["vec_id"] not in QUERY_IDS or r["vec_id"] in QUERY_IDS],
+        QUERY_IDS,
+        k=5 + len(QUERY_IDS),
+    )
+    expected_excl = {
+        q: [v for v in vs if v not in QUERY_IDS][:5] for q, vs in expected_excl.items()
+    }
+    assert got == expected_excl
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    small = emb.where(F.col("vec_id") < 120)
+    exact = ivf_topk(spark, small, QUERY_IDS, k=3, n_centroids=8, n_probe=8)
+    rows = small.collect()
+    expected = _exact_knn_numpy(rows, QUERY_IDS, k=3)
+    got = {}
+    for r in exact.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    got = {q: [v for _, v in sorted(vs)] for q, vs in got.items()}
+    assert got == expected
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    small = emb.where(F.col("vec_id") < 300)
+    approx = ivf_topk(spark, small, QUERY_IDS, k=5, n_centroids=8, n_probe=3)
+    rows = small.collect()
+    exact = _exact_knn_numpy(rows, QUERY_IDS, k=5)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    hits = sum(len(set(got.get(q, [])) & set(exact[q])) for q in QUERY_IDS)
+    recall = hits / (len(QUERY_IDS) * 5)
+    assert recall >= 0.2  # approximate path trades recall for 3/8 of the scan
+    # structural: k results max, ranks contiguous
+    for q, vs in got.items():
+        assert len(vs) <= 5
+
+
+def test_ann_topk_excludes_and_orders(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    res = ann_topk(emb.where(F.col("vec_id") != 0), list(q), k=10).collect()
+    assert len(res) == 10
+    bps = [r["cosine_bp"] for r in res]
+    assert bps == sorted(bps, reverse=True)
+    assert 0 not in {r["vec_id"] for r in res}
