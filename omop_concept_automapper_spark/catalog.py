@@ -133,8 +133,24 @@ class Table:
         _atomic_write_text(os.path.join(self.path, _CURRENT), sid)
         return snap
 
-    def _count_dir(self, data_dir: str) -> int:
-        return self.spark.read.parquet(data_dir).count()
+    def _partition_lineage(self, data_dir: str, cap: int = 64) -> tuple[int, dict]:
+        """(total_rows, per-partition lineage) for the snapshot manifest —
+        the north-rule 'per-partition lineage + metrics'.  One metadata-ish
+        job per commit; per-file detail truncated to ``cap`` entries."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        total = sum(int(r["count"]) for r in rows)
+        lineage = {
+            os.path.basename(r["file"]): int(r["count"])
+            for r in sorted(rows, key=lambda r: r["file"])[:cap]
+        }
+        return total, {"n_files": len(rows), "rows_per_file": lineage}
 
     def append(
         self,
@@ -146,7 +162,10 @@ class Table:
         data_dir = os.path.join(self.path, _DATA, sid)
         prev = self.snapshot()
         live = (prev.live_dirs if prev else []) + [data_dir]
-        return self._commit(sid, "append", live, self._count_dir(data_dir), metrics)
+        total, lineage = self._partition_lineage(data_dir)
+        return self._commit(
+            sid, "append", live, total, {**(metrics or {}), "lineage": lineage}
+        )
 
     def overwrite(
         self,
@@ -156,8 +175,10 @@ class Table:
     ) -> Snapshot:
         sid = self._write_data_dir(df, partition_by)
         data_dir = os.path.join(self.path, _DATA, sid)
+        total, lineage = self._partition_lineage(data_dir)
         return self._commit(
-            sid, "overwrite", [data_dir], self._count_dir(data_dir), metrics
+            sid, "overwrite", [data_dir], total,
+            {**(metrics or {}), "lineage": lineage},
         )
 
     def merge_upsert(
@@ -195,8 +216,10 @@ class Table:
     ) -> Snapshot:
         sid = self._write_data_dir(df, partition_by)
         data_dir = os.path.join(self.path, _DATA, sid)
+        total, lineage = self._partition_lineage(data_dir)
         return self._commit(
-            sid, operation, [data_dir], self._count_dir(data_dir), metrics
+            sid, operation, [data_dir], total,
+            {**(metrics or {}), "lineage": lineage},
         )
 
     def drop(self) -> None:

@@ -106,8 +106,28 @@ def test_snapshot_history_and_lineage(spark, tmp_path):
     hist = tbl.history()
     assert [s.operation for s in hist] == ["overwrite", "append"]
     assert tbl.read().count() == 8
-    assert hist[0].metrics == {"stage": "s1"}
+    assert hist[0].metrics["stage"] == "s1"
     assert hist[1].rows_written == 3
+    # per-partition lineage recorded on every commit (north_rule)
+    lineage = hist[1].metrics["lineage"]
+    assert lineage["n_files"] >= 1
+    assert sum(lineage["rows_per_file"].values()) == 3
+
+
+def test_crash_mid_write_leaves_previous_snapshot(spark, tmp_path):
+    """A data dir without a committed manifest (crash between write and
+    pointer flip) must be invisible to readers."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("t")
+    tbl.overwrite(spark.range(5))
+    # simulate a crashed writer: orphan data dir, no manifest, no pointer flip
+    orphan = os.path.join(tbl.path, "data", "9999999999999-deadbeef")
+    spark.range(100).write.parquet(orphan)
+    assert tbl.read().count() == 5
+    snap = tbl.snapshot()
+    assert all("deadbeef" not in d for d in snap.live_dirs)
 
 
 def test_delete_where(spark, tmp_path):
