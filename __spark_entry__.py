@@ -115,8 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
 
     def j1_customers_without_orders(spark, sf):
+        # anti-join against the finished-order subset so the result is
+        # non-empty at every scale factor (all customers have SOME order)
         c = _t(spark, sf, "customer")
-        o = _t(spark, sf, "orders")
+        o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
         return c.join(
             o, c["c_custkey"] == o["o_custkey"], "left_anti"
         ).select("c_custkey", "c_name")
@@ -546,7 +548,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
         "j1_customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
         "j2_nation_revenue": """
             SELECT n_name,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
