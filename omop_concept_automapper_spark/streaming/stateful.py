@@ -1,0 +1,131 @@
+"""Stateful / windowed Structured Streaming operators.
+
+The reference is batch-only; these give the engine the streaming surface a
+continuously-fed transcripts table needs:
+
+* ``streaming_first_seen_dedup`` — custom stateful operator via
+  ``applyInPandasWithState``: keyed by content fingerprint, emits only the
+  first document ever seen per key (exact streaming dedup; state = one
+  boolean per fingerprint, so state size is O(distinct fingerprints)).
+* ``windowed_mention_counts`` — event-time tumbling-window mention counts
+  with a watermark for late data; append-mode so each window is emitted
+  exactly once after the watermark passes.
+
+Both run under ``Trigger.AvailableNow`` in tests; on a live cluster the
+same code runs continuously with the checkpoint dir providing recovery.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from omop_concept_automapper_spark.functions.text import fingerprint
+
+_DEDUP_OUTPUT = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+_DEDUP_STATE = StructType([StructField("seen", BooleanType())])
+
+
+def _dedup_fn(key, pdfs, state: GroupState):
+    if state.exists:
+        # key already emitted in a previous microbatch: drop everything
+        for _ in pdfs:
+            pass
+        return iter(())
+    first = None
+    for pdf in pdfs:
+        if len(pdf) and first is None:
+            pdf = pdf.sort_values("doc_id")
+            first = pdf.iloc[[0]][["fingerprint", "doc_id", "text"]]
+    state.update((True,))
+    return iter(()) if first is None else iter([first])
+
+
+def streaming_first_seen_dedup(
+    spark: SparkSession,
+    landing_dir: str,
+    schema,
+    checkpoint_dir: str,
+    output_dir: str,
+) -> None:
+    """Emit each distinct document fingerprint once, keeping min doc_id
+    within a microbatch and the earliest microbatch across restarts."""
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(landing_dir)
+        .withColumn("fingerprint", fingerprint(F.col("text")))
+    )
+    deduped = stream.groupBy("fingerprint").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUTPUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_mention_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    surface_forms: list[str],
+    checkpoint_dir: str,
+    output_dir: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> None:
+    """Event-time tumbling-window mention counts with late-data watermark."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        TRANSCRIPTS_SCHEMA,
+    )
+    from omop_concept_automapper_spark.functions.mentions import (
+        make_mention_detector,
+    )
+
+    detector = make_mention_detector(surface_forms)
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(landing_dir)
+        .withWatermark("ts", watermark)
+        .select("ts", F.explode(detector(F.col("text"))).alias("mention_text"))
+        .groupBy(F.window("ts", window).alias("win"), "mention_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "mention_text",
+            "n",
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
