@@ -44,7 +44,8 @@ def make_mention_detector(surface_forms: list[str]):
     """Build a scalar-iterator pandas UDF: text -> array<string> of mentions.
 
     Scalar-iterator form so the regex is compiled once per python worker,
-    not once per batch.
+    not once per batch.  (Python-kernel path; the hot pipeline uses
+    ``jvm_mention_detector`` below — same semantics, tested equivalent.)
     """
     forms = list(surface_forms)
 
@@ -53,5 +54,43 @@ def make_mention_detector(surface_forms: list[str]):
         pattern, canon = compile_lexicon(forms)
         for texts in batches:
             yield texts.map(lambda t: detect_mentions_py(t, pattern, canon))
+
+    return detect
+
+
+def jvm_mention_detector(surface_forms: list[str]):
+    """JVM-side detection: ``regexp_extract_all`` with the same longest-first
+    alternation + lookaround boundaries as the Python kernel.
+
+    Why: detection is the per-turn hot loop; staying inside whole-stage
+    codegen avoids the Arrow round-trip and Python-worker CPU entirely
+    (~2-3x pipeline throughput).  Java and Python `re` agree on left-to-
+    right non-overlapping alternation scans and on these lookarounds, and
+    equivalence is pinned by tests/test_functions.py::TestJvmDetectorParity
+    over the full fixture corpus.  Returns a Column: sorted distinct
+    canonical surface forms.
+    """
+    canon = {s.lower(): s for s in surface_forms if s}
+    parts = sorted(canon.keys(), key=len, reverse=True)
+    pattern = (
+        r"(?<![a-z0-9])("
+        + "|".join("\\Q" + p.replace("\\E", "\\E\\\\E\\Q") + "\\E" for p in parts)
+        + r")(?![a-z0-9])"
+    )
+    needs_canon = any(k != v for k, v in canon.items())
+
+    def detect(text_col):
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        matches = F.array_sort(
+            F.array_distinct(F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(1)))
+        )
+        if needs_canon:
+            mapping = F.create_map(
+                *[F.lit(x) for kv in canon.items() for x in kv]
+            )
+            matches = F.array_sort(
+                F.transform(matches, lambda m: mapping[m])
+            )
+        return matches
 
     return detect

@@ -19,20 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from omop_concept_automapper_spark.functions.mentions import make_mention_detector
+from omop_concept_automapper_spark.functions.mentions import (
+    jvm_mention_detector,
+    make_mention_detector,
+)
 from omop_concept_automapper_spark.functions.text import atc7_extract
 from omop_concept_automapper_spark.operators.salted_agg import salted_agg
 
 
 def extract_mention_occurrences(
-    transcripts: DataFrame, surface_forms: list[str]
+    transcripts: DataFrame, surface_forms: list[str], use_jvm: bool = True
 ) -> DataFrame:
-    """(conv_id, turn_idx, mention_text) — one row per detected mention."""
-    detector = make_mention_detector(surface_forms)
+    """(conv_id, turn_idx, mention_text) — one row per detected mention.
+
+    Default path is the JVM ``regexp_extract_all`` detector (whole-stage
+    codegen, no Python boundary); ``use_jvm=False`` selects the pandas-UDF
+    kernel (same output, pinned equivalent in tests) for lexicons that
+    outgrow a single JVM regex.
+    """
+    if use_jvm:
+        mentions_col = jvm_mention_detector(surface_forms)(F.col("text"))
+    else:
+        mentions_col = make_mention_detector(surface_forms)(F.col("text"))
     return (
-        transcripts.select(
-            "conv_id", "turn_idx", detector(F.col("text")).alias("mentions")
-        )
+        transcripts.select("conv_id", "turn_idx", mentions_col.alias("mentions"))
         .where(F.size("mentions") > 0)
         .select("conv_id", "turn_idx", F.explode("mentions").alias("mention_text"))
     )

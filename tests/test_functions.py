@@ -78,6 +78,38 @@ class TestReranker:
         assert confidence_from_score(score) == expected
 
 
+class TestJvmDetectorParity:
+    def test_jvm_equals_python_kernel_on_fixture_corpus(self, spark):
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+        from omop_concept_automapper_spark.plans.mentions import (
+            extract_mention_occurrences,
+        )
+
+        t = transcripts_dataframe(spark, n_conversations=60)
+        forms = [e["mention_text"] for e in build_lexicon()]
+        jvm = extract_mention_occurrences(t, forms, use_jvm=True)
+        py = extract_mention_occurrences(t, forms, use_jvm=False)
+        assert jvm.exceptAll(py).count() == 0
+        assert py.exceptAll(jvm).count() == 0
+        assert jvm.count() > 0
+
+    def test_jvm_handles_regex_metachars_and_case(self, spark):
+        from omop_concept_automapper_spark.functions.mentions import (
+            jvm_mention_detector,
+        )
+
+        det = jvm_mention_detector(["b12 (oral)", "A.C. inhibitor"])
+        df = spark.createDataFrame(
+            [("needs B12 (oral) now",), ("a.c. inhibitor dose",), ("abc",)],
+            "text string",
+        )
+        out = [list(r[0]) for r in df.select(det("text")).collect()]
+        assert out == [["b12 (oral)"], ["A.C. inhibitor"], []]
+
+
 class TestMentionDetection:
     def test_longest_match_wins(self):
         pattern, canon = compile_lexicon(
