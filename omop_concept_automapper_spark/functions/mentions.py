@@ -24,6 +24,10 @@ from pyspark.sql.types import ArrayType, StringType
 def compile_lexicon(surface_forms: list[str]):
     """Compile surface forms into (regex, canonical-lookup)."""
     canon = {s.lower(): s for s in surface_forms if s}
+    if not canon:
+        # an empty alternation would match the empty string at every
+        # position; match-nothing instead
+        return re.compile(r"(?!x)x"), canon
     # longest-first alternation so 'type 2 diabetes mellitus' beats 'diabetes'
     parts = sorted(canon.keys(), key=len, reverse=True)
     pattern = re.compile(
@@ -71,6 +75,8 @@ def jvm_mention_detector(surface_forms: list[str]):
     canonical surface forms.
     """
     canon = {s.lower(): s for s in surface_forms if s}
+    if not canon:
+        return lambda text_col: F.array().cast("array<string>")
     parts = sorted(canon.keys(), key=len, reverse=True)
     pattern = (
         r"(?<![a-z0-9])("

@@ -125,6 +125,14 @@ class TestMentionDetection:
         assert detect_mentions_py("pseudoasthmatic", pattern, canon) == []
         assert detect_mentions_py("has asthma.", pattern, canon) == ["asthma"]
 
+    def test_empty_lexicon_matches_nothing(self):
+        pattern, canon = compile_lexicon([])
+        assert detect_mentions_py("anything at all", pattern, canon) == []
+
+    def test_single_candidate_selected(self):
+        # mirrors reference test_reranker single-candidate case
+        assert rerank_select("acute bronchitis", ["acute bronchitis"]) == (0, 10)
+
     def test_sorted_distinct(self):
         pattern, canon = compile_lexicon(["asthma", "migraine"])
         found = detect_mentions_py(
