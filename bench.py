@@ -42,6 +42,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # 200k convs ≈ 1.4M turns: large enough for steady-state throughput,
+    # small enough that the full bench stays ~1 min; the rigorous
+    # two-parallelism numbers live in bench_scaling.py / BENCH/BASELINE.md
     kg_convs = int(os.environ.get("SPARK_GRAFT_KG_CONVS", "200000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
