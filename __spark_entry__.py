@@ -15,7 +15,14 @@ parity is covered by the sequential oracle in pytest).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the sibling package importable regardless of the caller's CWD
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
