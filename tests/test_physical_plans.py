@@ -79,6 +79,17 @@ def test_topn_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_minhash_partial_min_mapside(spark):
+    from omop_concept_automapper_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    simple = plan_str(minhash_signatures(docs), mode="simple")
+    # the min-hash aggregate must combine map-side: shuffle carries
+    # docs x n_hashes partial minima, not exploded shingles
+    assert "partial_min" in simple
+    assert simple.index("partial_min") > simple.index("Exchange")  # partial below exchange
+
+
 def test_adaptive_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
