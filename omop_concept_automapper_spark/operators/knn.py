@@ -134,37 +134,59 @@ def _decode_idx(keys: np.ndarray) -> np.ndarray:
 
 def _blocked_topk(
     q: np.ndarray,
-    matrix: np.ndarray,
+    shards: list[tuple[int, np.ndarray]],
     k: int,
     base_mask: np.ndarray | None,
     block_rows: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact streaming top-k: score the vocab in row blocks, keep a running
-    per-query top-k of composite keys.  Peak memory is
-    O(batch × block_rows), never O(batch × vocab) — the property that lets
-    one executor scan a multi-million-concept index.  Returns
+    """Exact streaming top-k over a sharded vocabulary matrix.
+
+    ``shards`` is a list of (global_row_offset, matrix_slice); scoring
+    streams block by block within each shard, keeping a running per-query
+    top-k of composite keys.  Peak memory is O(batch × block_rows), never
+    O(batch × vocab), and because keys are globally unique the shard merge
+    is EXACT — this is what lets a full-OMOP index (16 GB) ship as several
+    independent broadcasts (SCALE.md).  Returns
     (keys (n,k) int64 sorted desc, count of valid candidates per row)."""
-    n_q, n_v = q.shape[0], matrix.shape[0]
+    n_q = q.shape[0]
     run = np.full((n_q, 0), np.iinfo(np.int64).min, dtype=np.int64)
     neg_inf_key = _order_keys(np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64))[0, 0]
-    for start in range(0, n_v, block_rows):
-        end = min(start + block_rows, n_v)
-        s = q @ matrix[start:end].T
-        if base_mask is not None:
-            s[:, ~base_mask[start:end]] = -np.inf
-        keys = _order_keys(s, np.arange(start, end, dtype=np.int64))
-        kk = min(k, end - start)
-        if end - start > kk:
-            part = np.argpartition(keys, -kk, axis=1)[:, -kk:]
-            keys = np.take_along_axis(keys, part, axis=1)
-        cat = np.concatenate([run, keys], axis=1)
-        if cat.shape[1] > k:
-            sel = np.argpartition(cat, -k, axis=1)[:, -k:]
-            cat = np.take_along_axis(cat, sel, axis=1)
-        run = cat
+    for offset, matrix in shards:
+        n_v = matrix.shape[0]
+        for start in range(0, n_v, block_rows):
+            end = min(start + block_rows, n_v)
+            s = q @ matrix[start:end].T
+            if base_mask is not None:
+                s[:, ~base_mask[offset + start : offset + end]] = -np.inf
+            keys = _order_keys(
+                s, np.arange(offset + start, offset + end, dtype=np.int64)
+            )
+            kk = min(k, end - start)
+            if end - start > kk:
+                part = np.argpartition(keys, -kk, axis=1)[:, -kk:]
+                keys = np.take_along_axis(keys, part, axis=1)
+            cat = np.concatenate([run, keys], axis=1)
+            if cat.shape[1] > k:
+                sel = np.argpartition(cat, -k, axis=1)[:, -k:]
+                cat = np.take_along_axis(cat, sel, axis=1)
+            run = cat
     run = -np.sort(-run, axis=1)  # final order: score desc, concept_id asc
     valid_counts = (run > (neg_inf_key | np.int64((1 << _IDX_BITS) - 1))).sum(axis=1)
     return run, valid_counts
+
+
+def _shards_of(index: dict) -> list[tuple[int, np.ndarray]]:
+    return index.get("shards") or [(0, index["matrix"])]
+
+
+def _gather_rows(shards: list[tuple[int, np.ndarray]], idxs: np.ndarray) -> np.ndarray:
+    """Gather matrix rows by GLOBAL index across shards."""
+    out = np.empty((idxs.size, shards[0][1].shape[1]), dtype=shards[0][1].dtype)
+    for offset, matrix in shards:
+        sel = (idxs >= offset) & (idxs < offset + matrix.shape[0])
+        if sel.any():
+            out[sel] = matrix[idxs[sel] - offset]
+    return out
 
 
 def link_batch(
@@ -179,7 +201,7 @@ def link_batch(
 
     Expects columns: mention_id, mention_text, is_drug, atc7 ('' if none).
     """
-    matrix = index["matrix"]
+    shards = _shards_of(index)
     concept_ids = index["concept_id"]
     names = index["concept_name"]
     out_rows: list[tuple] = []
@@ -192,7 +214,7 @@ def link_batch(
         base_mask = np.isin(index["domain_id"], np.asarray(target_domains, object))
 
     k_max = max(k_standard, k_drug)
-    top_keys, _ = _blocked_topk(q, matrix, k_max, base_mask, block_rows)
+    top_keys, _ = _blocked_topk(q, shards, k_max, base_mask, block_rows)
     neg_inf_key = _order_keys(
         np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64)
     )[0, 0]
@@ -213,7 +235,7 @@ def link_batch(
                     allowed = allowed[base_mask[allowed]]
                 if allowed is None or allowed.size == 0:
                     continue  # zero hits -> no mapping (auto_mapper.py:76-77)
-                sub_scores = matrix[allowed] @ q[row_i]
+                sub_scores = _gather_rows(shards, allowed) @ q[row_i]
                 sub_top = _topk_masked(sub_scores, concept_ids[allowed], k)
                 top = allowed[sub_top]
                 row_scores_of = {
@@ -228,7 +250,10 @@ def link_batch(
                 top = _decode_idx(keys)
                 row_scores_of = {
                     int(t): float(s)
-                    for t, s in zip(top, (matrix[top] @ q[row_i]).astype(np.float32))
+                    for t, s in zip(
+                        top,
+                        (_gather_rows(shards, top) @ q[row_i]).astype(np.float32),
+                    )
                 }
             cand_names = [str(names[j]) for j in top]
             rr = rerank_scores(str(text), cand_names)
@@ -262,17 +287,52 @@ def link_mentions(
     k_standard: int = 15,
     k_drug: int = 30,
     target_domains: list[str] | None = None,
+    n_shards: int = 1,
+    block_rows: int = 65536,
 ) -> DataFrame:
-    """Distributed retrieve+rerank: one ``mapInPandas`` pass over mentions."""
-    index_bc = spark.sparkContext.broadcast(build_vocab_index(vocab_pdf))
+    """Distributed retrieve+rerank: one ``mapInPandas`` pass over mentions.
+
+    ``n_shards > 1`` ships the embedding matrix as that many independent
+    broadcasts (the full-OMOP path where one 16 GB broadcast is
+    impractical); shard boundaries are aligned to ``block_rows`` multiples
+    so every configuration issues bitwise-identical gemm calls — BLAS
+    results can differ at the last ulp across matrix shapes, which would
+    otherwise flip near-tied tail candidates.  Results are therefore
+    EXACTLY equal to the single-broadcast plan
+    (tests/test_operators.py::test_sharded_index_exact_equality).
+    """
+    index = build_vocab_index(vocab_pdf)
     domains = list(target_domains) if target_domains else None
+    sc = spark.sparkContext
+
+    if n_shards <= 1:
+        meta_bc, shard_bcs = sc.broadcast(index), []
+    else:
+        matrix = index.pop("matrix")
+        n = matrix.shape[0]
+        # shard bounds MUST be block_rows multiples (exactness invariant);
+        # a vocab smaller than n_shards * block_rows gets fewer shards —
+        # sharding exists for vocabularies with many blocks.
+        n_blocks = -(-n // block_rows)
+        eff_shards = min(n_shards, n_blocks)
+        blocks_per_shard = -(-n_blocks // eff_shards)
+        bounds = list(range(0, n, blocks_per_shard * block_rows)) + [n]
+        shard_bcs = [
+            sc.broadcast((int(a), np.ascontiguousarray(matrix[a:b])))
+            for a, b in zip(bounds[:-1], bounds[1:])
+            if b > a
+        ]
+        meta_bc = sc.broadcast(index)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index = index_bc.value
+        idx = meta_bc.value
+        if shard_bcs:
+            idx = dict(idx)
+            idx["shards"] = [b.value for b in shard_bcs]
         for pdf in batches:
             yield link_batch(
-                pdf, index, k_standard=k_standard, k_drug=k_drug,
-                target_domains=domains,
+                pdf, idx, k_standard=k_standard, k_drug=k_drug,
+                target_domains=domains, block_rows=block_rows,
             )
 
     cols = ["mention_id", "mention_text", "is_drug", "atc7"]
