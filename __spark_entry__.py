@@ -266,6 +266,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n")
         )
 
+    def q4_priority_with_late_ship(spark, sf):
+        # EXISTS-style semi-join with a non-key predicate (TPC-H Q4 shape)
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        late = o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.col("o_orderdate")),
+            "left_semi",
+        )
+        return late.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        )
+
+    def a12_cube_counts(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.cube("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def w5_sessionize(spark, sf):
+        # gap-based sessionization: new session when > 30 min since the
+        # previous event of the same user (cumulative sum over a lag flag)
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        epoch = F.unix_seconds(F.col("ts").cast("timestamp"))
+        gap = epoch - F.lag(epoch).over(w)
+        new_session = F.when(
+            gap.isNull() | (gap > 1800), F.lit(1)
+        ).otherwise(F.lit(0))
+        sess = F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return e.select(
+            "user_id", "event_id", sess.cast("long").alias("session_id")
+        )
+
     def o3_top20_orders(spark, sf):
         o = _t(spark, sf, "orders")
         return (
@@ -464,6 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_lag_delta": w3_lag_delta,
         "w4_rolling_sum": w4_rolling_sum,
         "a11_rollup_counts": a11_rollup_counts,
+        "q4_priority_with_late_ship": q4_priority_with_late_ship,
+        "a12_cube_counts": a12_cube_counts,
+        "w5_sessionize": w5_sessionize,
         "o3_top20_orders": o3_top20_orders,
         "p6_regex_extract_events": p6_regex_extract_events,
         "f_scalar_pack": f_scalar_pack,
@@ -620,6 +660,30 @@ def oracle_sql() -> dict[str, str]:
         "a11_rollup_counts": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+        "q4_priority_with_late_ship": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority""",
+        "a12_cube_counts": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "w5_sessionize": """
+            SELECT user_id, event_id,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                          > 1800 OR LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                          IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)""",
         "o3_top20_orders": """
             SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
