@@ -55,6 +55,29 @@ def mapped_review(
     )
 
 
+def embedding_status(
+    embeddable: DataFrame, vocab_embeddings: DataFrame
+) -> dict:
+    """A2: total/embedded/pending/pct via a conditional count over a left
+    join against the embedded set (reference embeddings.py:115-147)."""
+    joined = embeddable.select("concept_id").join(
+        vocab_embeddings.select(F.col("concept_id").alias("emb_id")),
+        F.col("concept_id") == F.col("emb_id"),
+        "left",
+    )
+    row = joined.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("emb_id").alias("embedded"),
+    ).collect()[0]
+    total, embedded = int(row["total"]), int(row["embedded"])
+    return {
+        "total": total,
+        "embedded": embedded,
+        "pending": total - embedded,
+        "pct_complete": round(100.0 * embedded / total, 2) if total else 100.0,
+    }
+
+
 def atc7_summary(concept_atc7: DataFrame) -> DataFrame:
     """A5: count + avg array length of the ATC7 side index
     (reference utils.py:257-267)."""

@@ -55,6 +55,21 @@ def test_recent_and_distinct(out):
     assert methods == sorted(methods)
 
 
+def test_embedding_status(spark, out):
+    from omop_concept_automapper_spark.plans.reports import embedding_status
+    from omop_concept_automapper_spark.plans.vocab_prep import standard_embeddable
+
+    concept, _, _ = vocab_dataframes(spark)
+    embeddable = standard_embeddable(concept)
+    full = embedding_status(embeddable, out["vocab_embeddings"])
+    assert full["pending"] == 0 and full["pct_complete"] == 100.0
+    partial = embedding_status(
+        embeddable, out["vocab_embeddings"].limit(50)
+    )
+    assert partial["embedded"] == 50
+    assert partial["pending"] == partial["total"] - 50
+
+
 def test_atc7_summary(spark):
     concept, rel, anc = vocab_dataframes(spark)
     row = atc7_summary(derive_atc7(concept, rel, anc)).collect()[0]
