@@ -303,6 +303,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "event_id", sess.cast("long").alias("session_id")
         )
 
+    def j10_asof_join(spark, sf):
+        # as-of join: each 'error' event gets the latest prior-or-equal
+        # 'click' event of the same user (right side deduped per (user, ts))
+        from omop_concept_automapper_spark.operators.asof import asof_join
+
+        e = _t(spark, sf, "events")
+        errors = e.where(F.col("event_type") == "error").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = (
+            e.where(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_id").alias("click_event_id"))
+        )
+        out = asof_join(
+            errors, clicks, on=["user_id"], ts_col="ts",
+            right_payload=["click_event_id"],
+        )
+        return out.select("user_id", "event_id", "right_click_event_id")
+
+    def f_sample_hash(spark, sf):
+        # deterministic hash sampling (~10%) — reproducible train/test
+        # splits without rand(); md5-based so the oracle reproduces it
+        o = _t(spark, sf, "orders")
+        bucket = F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+        return o.where(bucket < 10).select("o_orderkey", "o_orderstatus")
+
+    def f_width_bucket_hist(spark, sf):
+        o = _t(spark, sf, "orders")
+        b = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12))
+        return o.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+    def f_levenshtein(spark, sf):
+        p = _t(spark, sf, "part")
+        return p.select(
+            "p_partkey",
+            F.levenshtein(F.col("p_name"), F.col("p_type")).alias("lev"),
+            F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).alias("lev_brand"),
+        )
+
     def o3_top20_orders(spark, sf):
         o = _t(spark, sf, "orders")
         return (
@@ -504,6 +546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_with_late_ship": q4_priority_with_late_ship,
         "a12_cube_counts": a12_cube_counts,
         "w5_sessionize": w5_sessionize,
+        "j10_asof_join": j10_asof_join,
+        "f_sample_hash": f_sample_hash,
+        "f_width_bucket_hist": f_width_bucket_hist,
+        "f_levenshtein": f_levenshtein,
         "o3_top20_orders": o3_top20_orders,
         "p6_regex_extract_events": p6_regex_extract_events,
         "f_scalar_pack": f_scalar_pack,
@@ -684,6 +730,31 @@ def oracle_sql() -> dict[str, str]:
                           IS NULL
                           THEN 1 ELSE 0 END AS new_session
               FROM events)""",
+        "j10_asof_join": """
+            WITH errors AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+            clicks AS (
+              SELECT user_id, ts, MIN(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT e.user_id, e.event_id, c.click_event_id AS right_click_event_id
+            FROM errors e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts >= c.ts""",
+        "f_sample_hash": """
+            SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10""",
+        "f_width_bucket_hist": """
+            -- width_bucket emulation (absent in DuckDB 1.0):
+            -- 0 below range, n+1 at/above hi, else floor((x-lo)/w)+1
+            SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                        WHEN o_totalprice >= 600000.0 THEN 13
+                        ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1
+                   END AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1""",
+        "f_levenshtein": """
+            SELECT p_partkey, levenshtein(p_name, p_type) AS lev,
+                   levenshtein(p_brand, 'Brand#1') AS lev_brand
+            FROM part""",
         "o3_top20_orders": """
             SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
