@@ -1,0 +1,84 @@
+"""Property-based tests for the blocked/sharded top-k kernel (pure numpy —
+no Spark session needed): any sharding/blocking configuration must produce
+exactly the brute-force (-score, concept_id) ranking."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from omop_concept_automapper_spark.operators.knn import (
+    _blocked_topk,
+    _decode_idx,
+    _order_keys,
+)
+
+
+def _brute_topk(q, matrix, k, mask):
+    scores = matrix @ q
+    if mask is not None:
+        scores = np.where(mask, scores, -np.inf)
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    return [int(i) for i in order[:k] if scores[i] > -np.inf]
+
+
+@given(
+    n_vocab=st.integers(3, 60),
+    k=st.integers(1, 12),
+    block_rows=st.integers(1, 16),
+    seed=st.integers(0, 10_000),
+    mask_frac=st.floats(0.0, 0.9),
+)
+@settings(max_examples=60, deadline=None)
+def test_blocked_topk_equals_bruteforce(n_vocab, k, block_rows, seed, mask_frac):
+    rng = np.random.default_rng(seed)
+    dim = 8
+    matrix = rng.standard_normal((n_vocab, dim)).astype(np.float32)
+    # inject exact duplicate rows to force score ties
+    if n_vocab >= 6:
+        matrix[1] = matrix[0]
+        matrix[5] = matrix[0]
+    q = rng.standard_normal((3, dim)).astype(np.float32)
+    mask = rng.random(n_vocab) >= mask_frac
+    if not mask.any():
+        mask[0] = True
+
+    keys, counts = _blocked_topk(q, [(0, matrix)], k, mask, block_rows)
+    neg_inf_key = _order_keys(
+        np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64)
+    )[0, 0]
+    for qi in range(q.shape[0]):
+        got_keys = keys[qi][keys[qi] > neg_inf_key][:k]
+        got = [int(i) for i in _decode_idx(got_keys)]
+        want = _brute_topk(q[qi].astype(np.float32), matrix, k, mask)
+        assert got == want, (got, want)
+        assert counts[qi] == min(k, int(mask.sum()))
+
+
+@given(
+    n_vocab=st.integers(8, 60),
+    n_shards=st.integers(2, 5),
+    block_rows=st.integers(2, 8),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_shard_split_invariance(n_vocab, n_shards, block_rows, seed):
+    """Block-aligned shard splits never change the result set."""
+    rng = np.random.default_rng(seed)
+    matrix = rng.standard_normal((n_vocab, 8)).astype(np.float32)
+    matrix[2] = matrix[0]  # tie
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    k = 7
+
+    full_keys, _ = _blocked_topk(q, [(0, matrix)], k, None, block_rows)
+    # block-aligned shard bounds
+    n_blocks = -(-n_vocab // block_rows)
+    bps = -(-n_blocks // n_shards)
+    bounds = list(range(0, n_vocab, bps * block_rows)) + [n_vocab]
+    shards = [
+        (a, matrix[a:b]) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+    ]
+    shard_keys, _ = _blocked_topk(q, shards, k, None, block_rows)
+    assert np.array_equal(full_keys, shard_keys)
