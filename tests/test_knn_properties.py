@@ -16,12 +16,26 @@ from omop_concept_automapper_spark.operators.knn import (
 )
 
 
-def _brute_topk(q, matrix, k, mask):
-    scores = matrix @ q
-    if mask is not None:
-        scores = np.where(mask, scores, -np.inf)
-    order = np.lexsort((np.arange(len(scores)), -scores))
-    return [int(i) for i in order[:k] if scores[i] > -np.inf]
+def _brute_topk(q, matrix, k, mask, block_rows):
+    """Reference ranking over scores computed with the SAME per-block gemm
+    calls as the kernel: the contract under test is exact top-k SELECTION
+    with the (-score, index) tie rule — not bitwise reproducibility of BLAS
+    across call shapes (scores of duplicate rows can differ by 1 ulp when
+    they land in different gemm calls; shard/blocking invariance is the
+    separate, alignment-guaranteed property below)."""
+    n = matrix.shape[0]
+    all_scores = np.concatenate(
+        [q @ matrix[s : min(s + block_rows, n)].T for s in range(0, n, block_rows)],
+        axis=1,
+    )
+    out = []
+    for qi in range(q.shape[0]):
+        scores = all_scores[qi]
+        if mask is not None:
+            scores = np.where(mask, scores, -np.inf)
+        order = np.lexsort((np.arange(len(scores)), -scores))
+        out.append([int(i) for i in order[:k] if scores[i] > -np.inf])
+    return out
 
 
 @given(
@@ -49,11 +63,11 @@ def test_blocked_topk_equals_bruteforce(n_vocab, k, block_rows, seed, mask_frac)
     neg_inf_key = _order_keys(
         np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64)
     )[0, 0]
+    wants = _brute_topk(q, matrix, k, mask, block_rows)
     for qi in range(q.shape[0]):
         got_keys = keys[qi][keys[qi] > neg_inf_key][:k]
         got = [int(i) for i in _decode_idx(got_keys)]
-        want = _brute_topk(q[qi].astype(np.float32), matrix, k, mask)
-        assert got == want, (got, want)
+        assert got == wants[qi], (got, wants[qi])
         assert counts[qi] == min(k, int(mask.sum()))
 
 
