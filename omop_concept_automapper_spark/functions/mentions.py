@@ -62,6 +62,73 @@ def make_mention_detector(surface_forms: list[str]):
     return detect
 
 
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def compile_token_gazetteer(surface_forms: list[str]):
+    """Token-indexed gazetteer for LARGE lexicons.
+
+    A single alternation regex degrades linearly in lexicon size; this
+    index is O(tokens-in-text x candidates-per-head-token) regardless of
+    lexicon size: head token -> candidate token tuples, verified by slice
+    comparison.  Matching is over the token sequence, so forms separated by
+    any non-alphanumeric bytes match (slightly LOOSER than the regex
+    detector, which requires the literal separator bytes); on
+    space-separated text the two are identical (pinned in tests).
+    Longest-match preference is implicit: all matches are reported, and
+    the sorted-distinct output matches the regex detector's behavior of
+    preferring the longest form at a position only when forms overlap —
+    heads try longer candidates first and shorter prefixes of an accepted
+    longer form are suppressed at the same start position.
+    """
+    canon: dict[tuple, str] = {}
+    heads: dict[str, list[tuple]] = {}
+    for s in surface_forms:
+        if not s:
+            continue
+        toks = tuple(_TOKEN_RE.findall(s.lower()))
+        if not toks:
+            continue
+        canon[toks] = s
+        heads.setdefault(toks[0], []).append(toks)
+    for h in heads:
+        heads[h].sort(key=len, reverse=True)  # longest candidate first
+    return heads, canon
+
+
+def detect_mentions_tokens(text: str, heads, canon) -> list[str]:
+    if not text:
+        return []
+    toks = _TOKEN_RE.findall(text.lower())
+    found = set()
+    i, n = 0, len(toks)
+    while i < n:
+        cands = heads.get(toks[i])
+        matched_len = 0
+        if cands:
+            for cand in cands:
+                L = len(cand)
+                if i + L <= n and tuple(toks[i : i + L]) == cand:
+                    found.add(canon[cand])
+                    matched_len = L
+                    break  # longest-first: take it, skip shorter overlaps
+        i += matched_len or 1
+    return sorted(found)
+
+
+def make_token_mention_detector(surface_forms: list[str]):
+    """Pandas UDF over the token gazetteer (large-lexicon scale path)."""
+    forms = list(surface_forms)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        heads, canon = compile_token_gazetteer(forms)
+        for texts in batches:
+            yield texts.map(lambda t: detect_mentions_tokens(t, heads, canon))
+
+    return detect
+
+
 def jvm_mention_detector(surface_forms: list[str]):
     """JVM-side detection: ``regexp_extract_all`` with the same longest-first
     alternation + lookaround boundaries as the Python kernel.

@@ -22,24 +22,40 @@ from pyspark.sql import functions as F
 from omop_concept_automapper_spark.functions.mentions import (
     jvm_mention_detector,
     make_mention_detector,
+    make_token_mention_detector,
 )
 from omop_concept_automapper_spark.functions.text import atc7_extract
 from omop_concept_automapper_spark.operators.salted_agg import salted_agg
 
 
+_TOKEN_PATH_THRESHOLD = 1024
+
+
 def extract_mention_occurrences(
-    transcripts: DataFrame, surface_forms: list[str], use_jvm: bool = False
+    transcripts: DataFrame, surface_forms: list[str], use_jvm="auto"
 ) -> DataFrame:
     """(conv_id, turn_idx, mention_text) — one row per detected mention.
 
-    Default is the Arrow-batched pandas-UDF kernel: measured 2.4x FASTER
-    than the JVM ``regexp_extract_all`` alternative on this lexicon (Python
-    sre's alternation prefilter beats Java's quoted-literal alternation:
-    28M turns, local[8]: 34s vs 75s) — evidence that "UDFs are the slow
-    path" must be measured, not assumed.  ``use_jvm=True`` keeps the
-    codegen path available; outputs are pinned equivalent in tests.
+    Detector selection (all outputs pinned equivalent on the fixtures):
+
+    * small lexicons -> Arrow-batched pandas regex kernel (measured 2.4x
+      faster than the JVM ``regexp_extract_all`` path on the fixture
+      lexicon: Python sre's alternation prefilter beats Java's
+      quoted-literal alternation — 28M turns, local[8]: 34s vs 75s);
+    * lexicons > ~1k forms -> token-indexed gazetteer, whose per-row cost
+      is INDEPENDENT of lexicon size (measured: 20k forms -> regex
+      5769 us/row vs token 6.7 us/row);
+    * ``use_jvm=True`` keeps the whole-stage-codegen path available.
+
+    "UDFs are the slow path" must be measured, not assumed.
     """
-    if use_jvm:
+    if use_jvm == "auto":
+        use_jvm = "token" if len(surface_forms) > _TOKEN_PATH_THRESHOLD else False
+    if use_jvm == "token":
+        # large-lexicon scale path: token-indexed gazetteer, cost independent
+        # of lexicon size (functions/mentions.py::compile_token_gazetteer)
+        mentions_col = make_token_mention_detector(surface_forms)(F.col("text"))
+    elif use_jvm:
         mentions_col = jvm_mention_detector(surface_forms)(F.col("text"))
     else:
         mentions_col = make_mention_detector(surface_forms)(F.col("text"))

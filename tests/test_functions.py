@@ -110,6 +110,57 @@ class TestJvmDetectorParity:
         assert out == [["b12 (oral)"], ["A.C. inhibitor"], []]
 
 
+class TestTokenGazetteer:
+    def test_equivalent_to_regex_on_fixture_corpus(self):
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            generate_transcript_rows,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+        from omop_concept_automapper_spark.functions.mentions import (
+            compile_token_gazetteer,
+            detect_mentions_tokens,
+        )
+
+        forms = [e["mention_text"] for e in build_lexicon()]
+        pattern, canon = compile_lexicon(forms)
+        heads, tcanon = compile_token_gazetteer(forms)
+        for row in generate_transcript_rows(40):
+            text = row[3]
+            assert detect_mentions_py(text, pattern, canon) == (
+                detect_mentions_tokens(text, heads, tcanon)
+            )
+
+    def test_longest_match_and_skip(self):
+        from omop_concept_automapper_spark.functions.mentions import (
+            compile_token_gazetteer,
+            detect_mentions_tokens,
+        )
+
+        heads, canon = compile_token_gazetteer(
+            ["type 2 diabetes mellitus", "diabetes mellitus", "mellitus care"]
+        )
+        # longest wins at the start position; tokens inside the accepted
+        # match are consumed (mirrors regex finditer non-overlap)
+        out = detect_mentions_tokens(
+            "has type 2 diabetes mellitus care plan", heads, canon
+        )
+        assert out == ["type 2 diabetes mellitus"]
+
+    def test_documented_separator_looseness(self):
+        """Token matching ignores punctuation separators — looser than the
+        regex detector (documented divergence, not a parity surface)."""
+        from omop_concept_automapper_spark.functions.mentions import (
+            compile_token_gazetteer,
+            detect_mentions_tokens,
+        )
+
+        heads, canon = compile_token_gazetteer(["acute bronchitis"])
+        pattern, rcanon = compile_lexicon(["acute bronchitis"])
+        text = "acute-bronchitis noted"
+        assert detect_mentions_tokens(text, heads, canon) == ["acute bronchitis"]
+        assert detect_mentions_py(text, pattern, rcanon) == []
+
+
 class TestMentionDetection:
     def test_longest_match_wins(self):
         pattern, canon = compile_lexicon(
