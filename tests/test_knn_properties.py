@@ -45,7 +45,7 @@ def _brute_topk(q, matrix, k, mask, block_rows):
     seed=st.integers(0, 10_000),
     mask_frac=st.floats(0.0, 0.9),
 )
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 def test_blocked_topk_equals_bruteforce(n_vocab, k, block_rows, seed, mask_frac):
     rng = np.random.default_rng(seed)
     dim = 8
@@ -77,7 +77,7 @@ def test_blocked_topk_equals_bruteforce(n_vocab, k, block_rows, seed, mask_frac)
     block_rows=st.integers(2, 8),
     seed=st.integers(0, 10_000),
 )
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 def test_shard_split_invariance(n_vocab, n_shards, block_rows, seed):
     """Block-aligned shard splits never change the result set."""
     rng = np.random.default_rng(seed)

@@ -15,6 +15,7 @@ from omop_concept_automapper_spark.operators.salted_agg import salted_agg
 _SETTINGS = dict(
     max_examples=8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
