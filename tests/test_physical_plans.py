@@ -90,6 +90,33 @@ def test_minhash_partial_min_mapside(spark):
     assert simple.index("partial_min") > simple.index("Exchange")  # partial below exchange
 
 
+def test_bucketed_join_is_colocated(spark, tmp_path):
+    """Bucketing both sides on the join key removes ALL exchanges — the
+    co-located edges/mentions merge strategy SCALE.md prescribes for the
+    graph tables at 100 TB (bucket(subj))."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/bkt'")
+    e = spark.range(0, 5000).selectExpr("id as subj", "id % 7 as obj")
+    m = spark.range(0, 5000).selectExpr("id as subj", "concat('t', id) as txt")
+    e.write.bucketBy(8, "subj").sortBy("subj").mode("overwrite").saveAsTable(
+        "bkt.edges_b"
+    )
+    m.write.bucketBy(8, "subj").sortBy("subj").mode("overwrite").saveAsTable(
+        "bkt.mentions_b"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt.edges_b").join(spark.table("bkt.mentions_b"), "subj")
+        plan = plan_str(j, mode="simple")
+        assert plan.count("Exchange") == 0
+        assert "SortMergeJoin" in plan
+        # baseline without bucketing shuffles both sides
+        base = e.join(m, "subj")
+        assert plan_str(base, mode="simple").count("Exchange") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_adaptive_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
