@@ -36,6 +36,8 @@ HEADLINE = [
     "text_quality_metrics",
     "text_lang_id",
     "cc_components",
+    "j10_asof_join",
+    "w5_sessionize",
 ]
 
 
