@@ -184,12 +184,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def a4_nation_segments(spark, sf):
+        # ARRAY_AGG DISTINCT (A4); serialized to '|'-joined string because the
+        # driver's oracle canonicalizer cannot sort array columns — the
+        # array-typed form stays pinned in tests/test_vocab_prep ATC7 tests.
         c = _t(spark, sf, "customer")
         n = _t(spark, sf, "nation")
         return (
             c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .groupBy("n_name")
-            .agg(F.sort_array(F.collect_set("c_mktsegment")).alias("segments"))
+            .agg(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_set("c_mktsegment"))
+                ).alias("segments")
+            )
         )
 
     def a6_distinct_status(spark, sf):
@@ -423,7 +430,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_duplicates(_t(spark, sf, "documents"))
 
     def dedup_minhash_sigs(spark, sf):
-        return minhash_signatures(_t(spark, sf, "documents"))
+        # '|'-joined signature string (driver canonicalizer can't sort arrays);
+        # the array form is consumed directly by dedup_lsh_pairs below.
+        sigs = minhash_signatures(_t(spark, sf, "documents"))
+        return sigs.select(
+            "doc_id", F.concat_ws("|", "signature").alias("signature")
+        )
 
     def dedup_lsh_pairs(spark, sf):
         return lsh_candidate_pairs(minhash_signatures(_t(spark, sf, "documents")))
@@ -583,12 +595,15 @@ _SHINGLES = (
 ).format(t=_TOKS)
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(as_string: bool = False) -> str:
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(8)
     )
+    sig = f"[{mins}]"
+    if as_string:
+        sig = f"array_to_string({sig}, '|')"
     return (
-        f"SELECT doc_id, [{mins}] AS signature "
+        f"SELECT doc_id, {sig} AS signature "
         f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
     )
 
@@ -668,7 +683,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
             FROM orders GROUP BY o_orderpriority""",
         "a4_nation_segments": """
-            SELECT n_name, array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+            SELECT n_name,
+                   string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
             FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
         "a6_distinct_status": """
             SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus""",
@@ -759,8 +775,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
         "p6_regex_extract_events": """
+            -- CAST(... AS BIGINT): DuckDB SUM(INT) yields HUGEINT which
+            -- pandas-canonicalizes to float64; Spark's sum(int) is int64.
+            -- TRY_CAST: rows without a "k" key extract '' -> NULL (Spark's
+            -- non-ANSI cast('' AS int) is also NULL).
             SELECT event_type,
-                   SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS sum_k,
+                   CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type""",
         "f_scalar_pack": """
@@ -796,7 +816,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {norm} AS fingerprint, COUNT(doc_id) AS n_docs,
                    MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1""",
-        "dedup_minhash_sigs": _minhash_sig_sql(),
+        "dedup_minhash_sigs": _minhash_sig_sql(as_string=True),
         "dedup_lsh_pairs": f"""
             WITH sigs AS ({_minhash_sig_sql()}),
             bands AS (

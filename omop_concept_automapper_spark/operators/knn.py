@@ -62,6 +62,14 @@ def build_vocab_index(vocab_pdf: pd.DataFrame) -> dict:
     layout (deterministic tie-breaks).
     """
     pdf = vocab_pdf.sort_values("concept_id").reset_index(drop=True)
+    if len(pdf) >= (1 << _IDX_BITS):
+        # _order_keys packs the column index into _IDX_BITS low bits; beyond
+        # that the composite keys overlap and top-k ordering silently
+        # corrupts — fail loudly instead (full OMOP is ~4M, headroom 4x).
+        raise ValueError(
+            f"vocabulary has {len(pdf)} rows, exceeding the 2^{_IDX_BITS} "
+            "composite-key index capacity; widen _IDX_BITS before indexing"
+        )
     matrix = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["vector"]])
     # L2-normalize defensively; cosine == dot on unit rows
     norms = np.linalg.norm(matrix, axis=1, keepdims=True)
@@ -153,6 +161,11 @@ def _blocked_topk(
     neg_inf_key = _order_keys(np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64))[0, 0]
     for offset, matrix in shards:
         n_v = matrix.shape[0]
+        if offset + n_v > (1 << _IDX_BITS):
+            raise ValueError(
+                f"shard rows reach {offset + n_v} > 2^{_IDX_BITS} composite-key "
+                "capacity; widen _IDX_BITS"
+            )
         for start in range(0, n_v, block_rows):
             end = min(start + block_rows, n_v)
             s = q @ matrix[start:end].T

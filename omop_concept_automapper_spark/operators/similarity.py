@@ -76,9 +76,19 @@ def knn_join(
             for qi in range(scores.shape[0]):
                 row = scores[qi]
                 kk = min(k, row.size)
-                # partial top-k within this partition's batch
-                part = np.argpartition(row, -kk)[-kk:]
-                for j in part:
+                # partial top-k within this partition's batch, with the
+                # pinned (-score, vec_id asc) tie rule: boundary ties at the
+                # kth score must not depend on argpartition's arbitrary
+                # placement, or the global merge becomes partitioning-
+                # dependent and can disagree with the oracle's vec_id-asc
+                # tie-break.
+                if row.size > kk:
+                    kth = np.partition(row, row.size - kk)[row.size - kk]
+                    cand = np.flatnonzero(row >= kth)
+                else:
+                    cand = np.arange(row.size)
+                order = np.lexsort((vec_ids[cand], -row[cand]))
+                for j in cand[order[:kk]]:
                     out.append((int(qids_[qi]), int(vec_ids[j]), float(row[j])))
             yield pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 

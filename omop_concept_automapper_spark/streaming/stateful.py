@@ -47,11 +47,16 @@ def _dedup_fn(key, pdfs, state: GroupState):
         for _ in pdfs:
             pass
         return iter(())
+    # accumulate across ALL Arrow chunks of the group: a key whose microbatch
+    # data spans multiple chunks must still emit the global-min doc_id
     first = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            pdf = pdf.sort_values("doc_id")
-            first = pdf.iloc[[0]][["fingerprint", "doc_id", "text"]]
+        if len(pdf) == 0:
+            continue
+        i = pdf["doc_id"].idxmin()
+        row = pdf.loc[[i], ["fingerprint", "doc_id", "text"]]
+        if first is None or int(row["doc_id"].iloc[0]) < int(first["doc_id"].iloc[0]):
+            first = row
     state.update((True,))
     return iter(()) if first is None else iter([first])
 
