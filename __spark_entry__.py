@@ -9,8 +9,8 @@ similarity search, text analysis), each with a DuckDB-runnable ANSI-SQL
 oracle.  Numeric outputs are decimal-accumulated and emitted as exact
 doubles or scaled integers (basis points) so value-hashes match across
 engines.  ``kg_pipeline_edges`` is the end-to-end KG linker on deterministic
-fixtures (non-SQL-expressible: vectorized UDFs; rows-only check — its SQL
-parity is covered by the sequential oracle in pytest).
+fixtures, hash-checked against golden edges produced by the sequential
+reference-algorithm oracle (plans/oracle.py) rendered as literal VALUES.
 """
 
 from __future__ import annotations
@@ -466,11 +466,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return knn_join(spark, qpdf, emb.where(F.col("vec_id") >= 20), k=5)
 
     def ann_ivf_topk(spark, sf):
-        # IVF coarse-quantized ANN (k-means trainer -> rows-only check;
-        # exactness when n_probe==n_centroids is pinned in
-        # tests/test_similarity.py::test_ivf_full_probe_equals_exact)
+        # IVF coarse-quantized ANN run at FULL probe (n_probe == n_centroids)
+        # so the result is exact and a brute-force SQL oracle can hash-check
+        # the whole machinery (k-means assignment + probe equijoin + top-k).
+        # The approximate path (n_probe < n_centroids) and its recall are
+        # pinned in tests/test_similarity.py.
         emb = _t(spark, sf, "embeddings")
-        return ivf_topk(spark, emb, list(range(8)), k=5, n_centroids=16, n_probe=4)
+        return ivf_topk(
+            spark, emb, list(range(8)), k=5, n_centroids=16, n_probe=16
+        )
 
     def ann_lsh_bucketed(spark, sf):
         emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
@@ -502,7 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).distinct()
         return connected_components(edges)
 
-    # ------------------------------------------- KG pipeline (rows-only)
+    # --------------------------------------- KG pipeline (golden-compare)
     def kg_pipeline_edges(spark, sf):
         from omop_concept_automapper_spark.fixtures.transcripts import (
             transcripts_dataframe,
@@ -536,7 +540,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mentions = build_mention_table(spark, occ, lexicon)
         links = link_mentions(spark, mentions, vocab_pdf)
         edges = build_edges(accepted_mappings(links, threshold=8), None)
-        return edges.select("subj", "pred", "obj", "mention_text", "confidence")
+        # hash-checked against the sequential reference-algorithm oracle
+        # (plans/oracle.py -> literal VALUES in oracle_sql()); subj hash-id
+        # determinism is pinned separately in tests/test_invariants.py
+        return edges.select(
+            "mention_text",
+            "pred",
+            F.col("obj").cast("long").alias("obj"),
+            F.col("confidence").cast("long").alias("confidence"),
+        )
 
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -605,6 +617,36 @@ def _minhash_sig_sql(as_string: bool = False) -> str:
     return (
         f"SELECT doc_id, {sig} AS signature "
         f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+    )
+
+
+def _kg_golden_edges_sql(n_conversations: int = 40) -> str:
+    """Golden edges from the sequential reference-algorithm oracle
+    (plans/oracle.py — a faithful port of reference auto_mapper.py:83-225
+    with the same deterministic embedder/reranker), rendered as literal
+    VALUES so DuckDB can hash-check the distributed pipeline's output."""
+    from omop_concept_automapper_spark.plans.oracle import oracle_link
+
+    golden = oracle_link(n_conversations=n_conversations)["edges"]
+    if not golden:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS mention_text, "
+            "CAST(NULL AS VARCHAR) AS pred, CAST(NULL AS BIGINT) AS obj, "
+            "CAST(NULL AS BIGINT) AS confidence WHERE FALSE"
+        )
+    rows = ", ".join(
+        "('{m}', '{p}', {o}, {c})".format(
+            m=e["mention_text"].replace("'", "''"),
+            p=e["pred"],
+            o=int(e["obj"]),
+            c=int(e["confidence"]),
+        )
+        for e in sorted(golden, key=lambda e: e["mention_text"])
+    )
+    return (
+        f"SELECT mention_text, pred, CAST(obj AS BIGINT) AS obj, "
+        f"CAST(confidence AS BIGINT) AS confidence "
+        f"FROM (VALUES {rows}) AS t(mention_text, pred, obj, confidence)"
     )
 
 
@@ -900,6 +942,18 @@ def oracle_sql() -> dict[str, str]:
                    {norm} AS fingerprint
             FROM documents""",
         "text_lang_id": _lang_id_sql(),
+        "ann_ivf_topk": """
+            -- full-probe IVF degrades to exact kNN: brute-force oracle,
+            -- same rounded-bp ordering + vec_id-asc tie-break as the engine
+            SELECT query_id, vec_id, rank, cosine_bp FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) DESC,
+                                e.vec_id ASC) AS rank,
+                     CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+              FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+              WHERE q.vec_id < 8) WHERE rank <= 5""",
+        "kg_pipeline_edges": _kg_golden_edges_sql(n_conversations=40),
         "cc_components": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,
@@ -911,7 +965,4 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT b.src, rr.r FROM bi b JOIN reach rr ON b.dst = rr.node)
             SELECT node, MIN(r) AS component FROM reach GROUP BY node""",
-        # kg_pipeline_edges: intentionally no oracle — vectorized-UDF linker,
-        # non-SQL-expressible; parity proven against the sequential reference
-        # oracle in tests/test_pipeline_parity.py.
     }

@@ -64,11 +64,10 @@ def test_query_matches_oracle(spark, name):
 
 
 def test_every_query_has_oracle_or_reason():
-    missing = set(QUERIES) - set(ORACLES)
-    # exempt: the vectorized-UDF linker and the k-means IVF trainer —
-    # genuinely non-SQL-expressible; both are pinned by dedicated pytest
-    # oracles (sequential reference port / full-probe==exact equivalence)
-    assert missing == {"kg_pipeline_edges", "ann_ivf_topk"}
+    # every queries() entry now carries a DuckDB oracle: kg_pipeline_edges
+    # via golden VALUES from the sequential reference oracle, ann_ivf_topk
+    # via full-probe (== exact brute force) SQL
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):
