@@ -550,6 +550,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("confidence").cast("long").alias("confidence"),
         )
 
+    # ------------------------------- vocab / import / links fixture gates
+    # (S1, J5+J6+A4, P5, J4, S2 — reference operators whose natural inputs
+    # are the vocabulary/import fixtures, materialized identically for both
+    # engines by fixtures/gatefiles.py)
+    def s1_csv_import(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.sources.imports import (
+            read_source_concepts_csv,
+        )
+
+        p = write_gate_fixtures()
+        df = read_source_concepts_csv(spark, p["source_concepts_csv"], 7)
+        # source_id (xxhash64) is engine-specific; its determinism is pinned
+        # in pytest — the gate checks the cleaning/typing rules
+        return df.select(
+            "source_value", "source_concept_name", "source_vocabulary_id",
+            "freq", "concept_id",
+        )
+
+    def s1_premapped_ids(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.sources.imports import (
+            parse_premapped_concept_ids,
+            read_source_concepts_csv,
+        )
+
+        p = write_gate_fixtures()
+        src = read_source_concepts_csv(spark, p["source_concepts_csv"], 7)
+        concept = spark.read.parquet(p["concept"])
+        pre = parse_premapped_concept_ids(src, concept)
+        # hash ids -> source_value (1:1 in the fixture) for an engine-neutral key
+        return pre.join(
+            F.broadcast(src.select("source_id", "source_value")), "source_id"
+        ).select("source_value", "concept_id")
+
+    def j5_atc7_derivation(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.plans.vocab_prep import derive_atc7
+
+        p = write_gate_fixtures()
+        atc7 = derive_atc7(
+            spark.read.parquet(p["concept"]),
+            spark.read.parquet(p["concept_relationship"]),
+            spark.read.parquet(p["concept_ancestor"]),
+        )
+        return atc7.select(
+            "concept_id", F.concat_ws("|", "atc7_codes").alias("atc7_codes")
+        )
+
+    def p5_confidence_gate(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.plans.graph import accepted_mappings
+
+        p = write_gate_fixtures()
+        links = spark.read.parquet(p["links"])
+        return accepted_mappings(links, threshold=8).select(
+            "mention_id", "concept_id", "confidence", "mapping_method"
+        )
+
+    def j4_checkpoint_antijoin(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.plans.vocab_prep import (
+            standard_embeddable,
+        )
+
+        p = write_gate_fixtures()
+        concept = spark.read.parquet(p["concept"])
+        manifest = spark.read.parquet(p["embedded_manifest"])
+        pending = standard_embeddable(concept).join(
+            manifest, "concept_id", "left_anti"
+        )
+        return pending.select("concept_id", "concept_name", "domain_id")
+
+    def s2_merge_upsert(spark, sf):
+        import tempfile
+
+        from omop_concept_automapper_spark.catalog import Table
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        base = spark.read.parquet(p["edges_base"])
+        delta = spark.read.parquet(p["edges_delta"])
+        tbl = Table(spark, tempfile.mkdtemp(prefix="ocas_gate_merge_"))
+        tbl.overwrite(base)
+        tbl.merge_upsert(delta, keys=["subj"])
+        return tbl.read().select("subj", "obj", "ver")
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue_topn": q3_segment_revenue_topn,
@@ -595,6 +694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "cc_components": cc_components,
         "kg_pipeline_edges": kg_pipeline_edges,
+        "s1_csv_import": s1_csv_import,
+        "s1_premapped_ids": s1_premapped_ids,
+        "j5_atc7_derivation": j5_atc7_derivation,
+        "p5_confidence_gate": p5_confidence_gate,
+        "j4_checkpoint_antijoin": j4_checkpoint_antijoin,
+        "s2_merge_upsert": s2_merge_upsert,
     }
 
 
@@ -625,9 +730,9 @@ def _kg_golden_edges_sql(n_conversations: int = 40) -> str:
     (plans/oracle.py — a faithful port of reference auto_mapper.py:83-225
     with the same deterministic embedder/reranker), rendered as literal
     VALUES so DuckDB can hash-check the distributed pipeline's output."""
-    from omop_concept_automapper_spark.plans.oracle import oracle_link
+    from omop_concept_automapper_spark.plans.oracle import oracle_link_default
 
-    golden = oracle_link(n_conversations=n_conversations)["edges"]
+    golden = oracle_link_default(n_conversations=n_conversations)["edges"]
     if not golden:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS mention_text, "
@@ -676,6 +781,11 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from omop_concept_automapper_spark.fixtures.gatefiles import (
+        write_gate_fixtures,
+    )
+
+    fx = write_gate_fixtures()  # idempotent; shared inputs for both engines
     norm = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
     disc = (
         "CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -942,6 +1052,65 @@ def oracle_sql() -> dict[str, str]:
                    {norm} AS fingerprint
             FROM documents""",
         "text_lang_id": _lang_id_sql(),
+        "s1_csv_import": f"""
+            SELECT source_value, source_concept_name,
+                   CAST(7 AS INTEGER) AS source_vocabulary_id,
+                   COALESCE(TRY_CAST(freq AS INTEGER), 1) AS freq,
+                   concept_id
+            FROM read_csv('{fx["source_concepts_csv"]}', header=true, all_varchar=true)""",
+        "s1_premapped_ids": f"""
+            WITH src AS (
+              SELECT * FROM read_csv('{fx["source_concepts_csv"]}', header=true, all_varchar=true)),
+            ex AS (
+              SELECT source_value,
+                     trim(unnest(string_split(concept_id, ';'))) AS cid
+              FROM src WHERE concept_id IS NOT NULL)
+            SELECT DISTINCT source_value, CAST(cid AS INTEGER) AS concept_id
+            FROM ex
+            WHERE regexp_matches(cid, '^[0-9]+$')
+              AND CAST(cid AS INTEGER) IN
+                  (SELECT concept_id FROM read_parquet('{fx["concept"]}'))""",
+        "j5_atc7_derivation": f"""
+            WITH c AS (SELECT * FROM read_parquet('{fx["concept"]}')),
+            rel AS (SELECT * FROM read_parquet('{fx["concept_relationship"]}')),
+            anc AS (SELECT * FROM read_parquet('{fx["concept_ancestor"]}')),
+            drugs AS (SELECT concept_id FROM c
+                      WHERE domain_id = 'Drug' AND standard_concept = 'S'),
+            atc AS (SELECT concept_id AS atc_id, concept_code AS atc_code
+                    FROM c WHERE vocabulary_id = 'ATC'),
+            rel_path AS (
+              SELECT d.concept_id, a.atc_code FROM drugs d
+              JOIN rel ON rel.concept_id_1 = d.concept_id
+                AND rel.relationship_id IN ('Maps to','RxNorm has ing','Mapped from')
+                AND rel.invalid_reason IS NULL
+              JOIN atc a ON rel.concept_id_2 = a.atc_id),
+            anc_path AS (
+              SELECT d.concept_id, a.atc_code FROM drugs d
+              JOIN anc ON anc.descendant_concept_id = d.concept_id
+              JOIN atc a ON anc.ancestor_concept_id = a.atc_id
+                AND length(a.atc_code) = 7),
+            bothp AS (SELECT * FROM rel_path UNION SELECT * FROM anc_path)
+            SELECT concept_id,
+                   string_agg(DISTINCT atc_code, '|' ORDER BY atc_code) AS atc7_codes
+            FROM bothp WHERE length(atc_code) = 7 GROUP BY concept_id""",
+        "p5_confidence_gate": f"""
+            SELECT mention_id, concept_id, confidence, mapping_method
+            FROM read_parquet('{fx["links"]}')
+            WHERE error IS NULL AND confidence >= 8""",
+        "j4_checkpoint_antijoin": f"""
+            SELECT concept_id, concept_name, domain_id
+            FROM read_parquet('{fx["concept"]}')
+            WHERE standard_concept = 'S'
+              AND lower(concept_class_id) NOT LIKE '%box%'
+              AND lower(concept_class_id) NOT LIKE '%marketed%'
+              AND concept_id NOT IN
+                  (SELECT concept_id FROM read_parquet('{fx["embedded_manifest"]}'))""",
+        "s2_merge_upsert": f"""
+            SELECT subj, obj, ver FROM read_parquet('{fx["edges_delta"]}')
+            UNION ALL
+            SELECT subj, obj, ver FROM read_parquet('{fx["edges_base"]}')
+            WHERE subj NOT IN
+                  (SELECT subj FROM read_parquet('{fx["edges_delta"]}'))""",
         "ann_ivf_topk": """
             -- full-probe IVF degrades to exact kNN: brute-force oracle,
             -- same rounded-bp ordering + vec_id-asc tie-break as the engine

@@ -24,6 +24,7 @@ Faithfully ported decision points:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 
@@ -82,6 +83,13 @@ def oracle_standard_embeddable(vocab, domain_filter: str | None = None):
             continue
         rows.append(c)
     return sorted(rows, key=lambda r: r[0])  # concept_id order = index order
+
+
+@lru_cache(maxsize=4)
+def oracle_link_default(n_conversations: int = 200) -> dict:
+    """Memoized default-config oracle run (gate fixtures + golden edges
+    both consume it; the embedding pass is the expensive part)."""
+    return oracle_link(n_conversations=n_conversations)
 
 
 def oracle_link(
