@@ -28,11 +28,15 @@ order-stable, SURVEY.md hard part (f)).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from omop_concept_automapper_spark.functions.embedder import embed_texts
 from omop_concept_automapper_spark.functions.reranker import (
@@ -291,6 +295,174 @@ def link_batch(
                 )
             )
     return pd.DataFrame(out_rows, columns=_LINK_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# File-backed vocab index: the full-OMOP scale path.
+#
+# The in-memory path (link_mentions(vocab_pdf=...)) requires the DRIVER to
+# hold the whole embedding matrix in pandas before broadcasting — at full
+# OMOP (~4M x 1024 fp32 ≈ 16 GB) that kills the driver before any shard
+# helps.  Here the index is written as block-aligned parquet shards by
+# Spark executors (distributed write, partitionBy(shard)); link tasks load
+# their shards lazily from storage inside the UDF with a per-process cache.
+# Driver peak memory is O(n_ids) — the sorted concept_id list used to place
+# block-aligned shard boundaries — never O(n x d).
+#
+# Exactness: shard boundaries are block_rows multiples of the same global
+# concept_id order the in-memory path uses, so every gemm call is
+# shape-identical and results are bitwise equal to the single-broadcast
+# plan (tests/test_operators.py::test_file_index_exact_equality).
+# ---------------------------------------------------------------------------
+
+_META_COLUMNS = ["concept_id", "concept_name", "domain_id", "atc7_codes"]
+_FILE_INDEX_CACHE: dict[str, dict] = {}
+
+
+def build_vocab_index_files(
+    vocab: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    block_rows: int = 65536,
+) -> dict:
+    """Write the vocab index as parquet files; returns the manifest.
+
+    Layout: ``meta/`` (metadata columns), ``vectors/shard=i/`` (concept_id +
+    vector, one block-aligned slice of the concept_id-sorted matrix per
+    shard), ``manifest.json`` (row offsets per shard).  Vectors never pass
+    through the driver — executors write their own shard partitions.
+    """
+    try:
+        ids_tbl = vocab.select("concept_id").orderBy("concept_id").toArrow()
+        ids = ids_tbl.column("concept_id").to_numpy()
+    except AttributeError:  # Spark < 4.0 fallback
+        ids = (
+            vocab.select("concept_id").orderBy("concept_id").toPandas()
+        )["concept_id"].to_numpy()
+    n = int(ids.size)
+    if n >= (1 << _IDX_BITS):
+        raise ValueError(
+            f"vocabulary has {n} rows, exceeding the 2^{_IDX_BITS} "
+            "composite-key index capacity; widen _IDX_BITS before indexing"
+        )
+    n_blocks = -(-n // block_rows) if n else 1
+    eff_shards = max(1, min(n_shards, n_blocks))
+    rows_per_shard = (-(-n_blocks // eff_shards)) * block_rows
+    offsets = list(range(0, max(n, 1), rows_per_shard))
+    # boundary concept ids for the CASE-chain shard assignment (no sampling
+    # nondeterminism, unlike repartitionByRange)
+    boundary_ids = [int(ids[o]) for o in offsets[1:] if o < n]
+
+    shard_expr = F.lit(0)
+    for b in boundary_ids:
+        shard_expr = shard_expr + F.when(F.col("concept_id") >= b, 1).otherwise(0)
+    (
+        vocab.select("concept_id", "vector", shard_expr.alias("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    meta_cols = [c for c in vocab.columns if c != "vector"]
+    vocab.select(*meta_cols).write.mode("overwrite").parquet(
+        os.path.join(path, "meta")
+    )
+    manifest = {
+        "n": n,
+        "dim": None,  # filled lazily by the loader
+        "block_rows": block_rows,
+        "offsets": [o for o in offsets if o < n] or [0],
+        "n_shards": eff_shards,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def _read_parquet_dir(path: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    return pq.ParquetDataset(files).read().to_pandas()
+
+
+def load_vocab_index_files(path: str) -> dict:
+    """Executor-side loader with a per-process cache: reconstructs the exact
+    index dict (metadata arrays + block-aligned matrix shards) from the
+    files written by ``build_vocab_index_files``."""
+    manifest_path = os.path.join(path, "manifest.json")
+    cache_key = f"{path}@{os.stat(manifest_path).st_mtime_ns}"
+    cached = _FILE_INDEX_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    meta = _read_parquet_dir(os.path.join(path, "meta"))
+    meta = meta.sort_values("concept_id").reset_index(drop=True)
+
+    atc7_inverted: dict[str, list[int]] = {}
+    for i, codes in enumerate(meta["atc7_codes"]):
+        for code in codes if codes is not None else []:
+            atc7_inverted.setdefault(code, []).append(i)
+
+    shards: list[tuple[int, np.ndarray]] = []
+    for shard_i, offset in enumerate(manifest["offsets"]):
+        pdf = _read_parquet_dir(
+            os.path.join(path, "vectors", f"shard={shard_i}")
+        ).sort_values("concept_id")
+        matrix = np.asarray(
+            [np.asarray(v, dtype=np.float32) for v in pdf["vector"]]
+        )
+        norms = np.linalg.norm(matrix, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        shards.append((int(offset), (matrix / norms).astype(np.float32)))
+
+    index = {
+        "shards": shards,
+        "concept_id": meta["concept_id"].to_numpy(np.int64),
+        "concept_name": meta["concept_name"].to_numpy(object),
+        "domain_id": meta["domain_id"].to_numpy(object),
+        "atc7_codes": [
+            list(c) if c is not None else [] for c in meta["atc7_codes"]
+        ],
+        "atc7_inverted": {k: np.asarray(v) for k, v in atc7_inverted.items()},
+    }
+    for extra in ("vocabulary_id", "concept_class_id", "concept_code"):
+        if extra in meta.columns:
+            index[extra] = meta[extra].to_numpy(object)
+    _FILE_INDEX_CACHE.clear()  # one live index per process is enough
+    _FILE_INDEX_CACHE[cache_key] = index
+    return index
+
+
+def link_mentions_file_index(
+    spark: SparkSession,
+    mentions: DataFrame,
+    index_path: str,
+    k_standard: int = 15,
+    k_drug: int = 30,
+    target_domains: list[str] | None = None,
+    block_rows: int = 65536,
+) -> DataFrame:
+    """Distributed retrieve+rerank against a file-backed vocab index.
+
+    No broadcast, no driver-resident matrix: each executor process loads
+    the shard files once (cache above) from shared storage — the shape a
+    16 GB full-OMOP index needs on a 1000-executor cluster.
+    """
+    domains = list(target_domains) if target_domains else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = load_vocab_index_files(index_path)
+        for pdf in batches:
+            yield link_batch(
+                pdf, idx, k_standard=k_standard, k_drug=k_drug,
+                target_domains=domains, block_rows=block_rows,
+            )
+
+    cols = ["mention_id", "mention_text", "is_drug", "atc7"]
+    return mentions.select(*cols).mapInPandas(run, schema=LINK_RESULT_SCHEMA)
 
 
 def link_mentions(

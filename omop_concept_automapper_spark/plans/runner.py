@@ -23,8 +23,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from omop_concept_automapper_spark.catalog import Warehouse
-from omop_concept_automapper_spark.operators.knn import link_mentions
+from omop_concept_automapper_spark.operators.knn import (
+    build_vocab_index_files,
+    link_mentions_file_index,
+)
 from omop_concept_automapper_spark.plans.graph import (
     accepted_mappings,
     build_edges,
@@ -97,11 +102,20 @@ class Pipeline:
         tbl = self.wh.table("links")
         if self.wh.stage_complete("links"):
             return tbl.read()
-        vocab_pdf = vocab_embeddings.select(
-            "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
-        ).toPandas()
-        results = link_mentions(
-            self.spark, mentions, vocab_pdf,
+        # file-backed index: executors write block-aligned vector shards and
+        # link tasks load them from storage — the driver never materializes
+        # the embedding matrix (peak driver memory O(concept_id list), not
+        # O(n x d); at full OMOP the matrix is ~16 GB)
+        index_path = os.path.join(self.wh.root, "vocab_index")
+        build_vocab_index_files(
+            vocab_embeddings.select(
+                "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+            ),
+            index_path,
+            n_shards=int(self.cfg.extra.get("n_index_shards", 4)),
+        )
+        results = link_mentions_file_index(
+            self.spark, mentions, index_path,
             k_standard=self.cfg.k_standard, k_drug=self.cfg.k_drug,
             target_domains=self.cfg.target_domains,
         )

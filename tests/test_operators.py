@@ -227,3 +227,89 @@ def test_knn_topk_truncates_and_orders():
     cands = out.iloc[0]["candidate_ids"]
     assert len(cands) == 2 and cands[0] == 1  # best first
     assert out.iloc[0]["confidence"] == 10
+
+
+def test_file_index_exact_equality(spark, tmp_path):
+    """The file-backed index (executor-side shard loading, no driver-resident
+    matrix) must produce EXACTLY the in-memory single-broadcast results:
+    shard boundaries are block-aligned over the same concept_id order, so
+    every gemm call is shape-identical."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import (
+        build_lexicon,
+        vocab_dataframes,
+    )
+    from omop_concept_automapper_spark.operators.knn import (
+        build_vocab_index_files,
+        link_mentions,
+        link_mentions_file_index,
+    )
+    from omop_concept_automapper_spark.plans.mentions import (
+        build_mention_table,
+        extract_mention_occurrences,
+    )
+    from omop_concept_automapper_spark.plans.vocab_prep import (
+        build_vocab_embeddings,
+    )
+
+    lexicon = build_lexicon()
+    vocab = build_vocab_embeddings(*vocab_dataframes(spark)).select(
+        "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+    )
+    t = transcripts_dataframe(spark, n_conversations=30)
+    occ = extract_mention_occurrences(t, [e["mention_text"] for e in lexicon])
+    mentions = build_mention_table(spark, occ, lexicon)
+
+    def canon(df):
+        return {
+            (r["mention_id"], r["concept_id"], r["confidence"],
+             tuple(r["candidate_ids"] or []))
+            for r in df.select(
+                "mention_id", "concept_id", "confidence", "candidate_ids"
+            ).collect()
+        }
+
+    vocab_pdf = vocab.toPandas()
+    base = canon(link_mentions(spark, mentions, vocab_pdf, block_rows=32))
+    assert base
+
+    idx_path = str(tmp_path / "vocab_index")
+    manifest = build_vocab_index_files(vocab, idx_path, n_shards=3, block_rows=32)
+    assert manifest["n_shards"] == 3
+    got = canon(link_mentions_file_index(spark, mentions, idx_path, block_rows=32))
+    assert got == base
+
+
+def test_stage_links_never_collects_vocab_to_driver(spark, tmp_path, monkeypatch):
+    """Scale pin: the links stage must not materialize the vocab embedding
+    table in driver pandas (at full OMOP that is ~16 GB). toPandas is
+    poisoned for the duration; the file-backed index path must still work."""
+    import pyspark.sql
+
+    from omop_concept_automapper_spark.catalog import Warehouse
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import (
+        build_lexicon,
+        vocab_dataframes,
+    )
+    from omop_concept_automapper_spark.plans.runner import Pipeline
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh)
+    lexicon = build_lexicon()
+    concept, rel, anc = vocab_dataframes(spark)
+    vocab = pipe.stage_vocab_embeddings(concept, rel, anc)
+    mentions = pipe.stage_mentions(
+        transcripts_dataframe(spark, n_conversations=20), lexicon
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side toPandas in links stage")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", boom)
+    links = pipe.stage_links(mentions, vocab)
+    assert links.where("error is null").count() > 0
