@@ -55,6 +55,9 @@ class Snapshot:
     live_dirs: list[str]
     rows_written: int
     metrics: dict
+    # bucketed tables: bucket id (str) -> live data dirs for that bucket.
+    # live_dirs stays the flattened union so old readers keep working.
+    buckets: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -173,6 +176,8 @@ class Table:
         partition_by: list[str] | None = None,
         metrics: dict | None = None,
     ) -> Snapshot:
+        if self.bucket_spec() is not None:
+            return self._commit_rewrite(df, "overwrite", partition_by, metrics)
         sid = self._write_data_dir(df, partition_by)
         data_dir = os.path.join(self.path, _DATA, sid)
         total, lineage = self._partition_lineage(data_dir)
@@ -181,12 +186,59 @@ class Table:
             {**(metrics or {}), "lineage": lineage},
         )
 
+    # ---------------------------------------------------------- bucketing
+    _BUCKETSPEC = "_bucketspec.json"
+
+    def bucket_spec(self) -> dict | None:
+        p = os.path.join(self.path, self._BUCKETSPEC)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.loads(f.read())
+
+    def _set_bucket_spec(self, column: str, n_buckets: int) -> dict:
+        spec = {"column": column, "n_buckets": int(n_buckets)}
+        _atomic_write_text(
+            os.path.join(self.path, self._BUCKETSPEC),
+            json.dumps(spec, sort_keys=True),
+        )
+        return spec
+
+    @staticmethod
+    def _bucket_col(spec: dict):
+        from pyspark.sql import functions as F
+
+        return F.pmod(
+            F.xxhash64(F.col(spec["column"]).cast("string")),
+            F.lit(spec["n_buckets"]),
+        ).cast("int")
+
+    def _write_bucketed_dir(self, df: DataFrame, spec: dict) -> tuple[str, dict]:
+        """Write df partitioned by bucket id; returns (sid, bucket->dir)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.path, _DATA, sid)
+        (
+            df.withColumn("__bucket", self._bucket_col(spec))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(data_dir)
+        )
+        written = {
+            name.split("=", 1)[1]: [os.path.join(data_dir, name)]
+            for name in os.listdir(data_dir)
+            if name.startswith("__bucket=")
+        }
+        return sid, written
+
     def merge_upsert(
         self,
         df: DataFrame,
         keys: list[str],
         partition_by: list[str] | None = None,
         metrics: dict | None = None,
+        bucket_by: tuple[str, int] | None = None,
     ) -> Snapshot:
         """Last-write-wins upsert on ``keys`` — MERGE INTO semantics.
 
@@ -194,13 +246,76 @@ class Table:
         (src/backend/db/methods/mapping.py:112-132) and CONCEPT upsert
         (imports.py:207-240): existing rows whose key appears in ``df`` are
         replaced, everything else is kept.
-        """
-        if not self.exists():
-            return self.overwrite(df, partition_by, metrics)
-        current = self.read()
-        kept = current.join(df.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = kept.unionByName(df)
-        return self._commit_rewrite(merged, "merge", partition_by, metrics)
+
+        With ``bucket_by=(column, n_buckets)`` (sticky: recorded at first
+        write) the merge is PARTITION-SCOPED, mirroring Iceberg's
+        copy-on-write MERGE granularity: only buckets containing delta keys
+        are rewritten; untouched buckets' data dirs are carried into the new
+        snapshot manifest unchanged — merge cost is O(touched partitions),
+        not O(table).  At 10^9 edges an incremental run no longer rewrites
+        the whole table (the round-1 scale-killer)."""
+        spec = self.bucket_spec()
+        if spec is None and bucket_by is not None:
+            spec = self._set_bucket_spec(*bucket_by)
+        if spec is None:
+            if not self.exists():
+                return self.overwrite(df, partition_by, metrics)
+            current = self.read()
+            kept = current.join(
+                df.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = kept.unionByName(df)
+            return self._commit_rewrite(merged, "merge", partition_by, metrics)
+        return self._merge_bucketed(df, keys, spec, metrics)
+
+    def _merge_bucketed(
+        self, df: DataFrame, keys: list[str], spec: dict, metrics: dict | None
+    ) -> Snapshot:
+        prev = self.snapshot()
+        prev_buckets: dict = dict(prev.buckets or {}) if prev else {}
+        delta = df
+        affected = sorted(
+            r[0]
+            for r in df.select(self._bucket_col(spec).alias("b"))
+            .distinct()
+            .collect()
+        )
+        touched_dirs = [
+            d for b in affected for d in prev_buckets.get(str(b), [])
+        ]
+        if touched_dirs:
+            current_touched = self.spark.read.parquet(*touched_dirs)
+            kept = current_touched.join(
+                delta.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = kept.unionByName(delta.select(*current_touched.columns))
+        else:
+            merged = delta
+        sid, written = self._write_bucketed_dir(merged, spec)
+        new_buckets = dict(prev_buckets)
+        for b in affected:
+            new_buckets[str(b)] = written.get(str(b), [])
+        live = [d for dirs in new_buckets.values() for d in dirs]
+        data_dir = os.path.join(self.path, _DATA, sid)
+        total, lineage = self._partition_lineage(data_dir)
+        snap = Snapshot(
+            snapshot_id=sid,
+            operation="merge",
+            live_dirs=live,
+            rows_written=total,
+            metrics={
+                **(metrics or {}),
+                "lineage": lineage,
+                "buckets_rewritten": len(affected),
+                "buckets_total": spec["n_buckets"],
+            },
+            buckets=new_buckets,
+        )
+        _atomic_write_text(
+            os.path.join(self.path, _MANIFESTS, f"{sid}.json"), snap.to_json()
+        )
+        _atomic_write_text(os.path.join(self.path, _CURRENT), sid)
+        return snap
 
     def delete_where(self, condition, metrics: dict | None = None) -> Snapshot:
         """Row-level delete (reference imports.py:441-452)."""
@@ -214,6 +329,26 @@ class Table:
         partition_by: list[str] | None,
         metrics: dict | None,
     ) -> Snapshot:
+        spec = self.bucket_spec()
+        if spec is not None:
+            # full rewrite of a bucketed table: replace the bucket map
+            sid, written = self._write_bucketed_dir(df, spec)
+            data_dir = os.path.join(self.path, _DATA, sid)
+            total, lineage = self._partition_lineage(data_dir)
+            snap = Snapshot(
+                snapshot_id=sid,
+                operation=operation,
+                live_dirs=[d for dirs in written.values() for d in dirs],
+                rows_written=total,
+                metrics={**(metrics or {}), "lineage": lineage},
+                buckets=written,
+            )
+            _atomic_write_text(
+                os.path.join(self.path, _MANIFESTS, f"{sid}.json"),
+                snap.to_json(),
+            )
+            _atomic_write_text(os.path.join(self.path, _CURRENT), sid)
+            return snap
         sid = self._write_data_dir(df, partition_by)
         data_dir = os.path.join(self.path, _DATA, sid)
         total, lineage = self._partition_lineage(data_dir)

@@ -136,9 +136,16 @@ class Pipeline:
         accepted = accepted_mappings(links, self.cfg.confidence_threshold)
         edges = build_edges(accepted, self.cfg.target_domains)
         nodes = build_nodes(accepted)
-        # last-write-wins per subject (ST2 remap semantics, mapping.py:112-132)
-        e_snap = edges_tbl.merge_upsert(edges, keys=["subj"])
-        n_snap = nodes_tbl.merge_upsert(nodes, keys=["node_id"])
+        # last-write-wins per subject (ST2 remap semantics, mapping.py:112-132);
+        # bucketed on the merge key so an incremental run rewrites only the
+        # buckets containing delta keys — O(touched partitions), not O(table)
+        n_buckets = int(self.cfg.extra.get("n_edge_buckets", 16))
+        e_snap = edges_tbl.merge_upsert(
+            edges, keys=["subj"], bucket_by=("subj", n_buckets)
+        )
+        n_snap = nodes_tbl.merge_upsert(
+            nodes, keys=["node_id"], bucket_by=("node_id", n_buckets)
+        )
         self.wh.mark_stage_complete(
             "graph", {"edges": e_snap.rows_written, "nodes": n_snap.rows_written}
         )

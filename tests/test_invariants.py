@@ -154,3 +154,50 @@ def test_incremental_vocab_embedding_resume(spark, tmp_path):
     assert n2 > n1
     # no duplicates: incremental append embedded each concept exactly once
     assert full.select("concept_id").distinct().count() == n2
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Partition-scoped MERGE: untouched buckets' data dirs must be REUSED
+    (same paths) in the new snapshot manifest — merge cost O(touched
+    partitions), the Iceberg copy-on-write granularity."""
+    from omop_concept_automapper_spark.catalog import Table
+
+    tbl = Table(spark, str(tmp_path / "edges"))
+    base = spark.createDataFrame(
+        [(f"m:{i}", 1000 + i, 1) for i in range(200)], "subj string, obj int, ver int"
+    )
+    tbl.merge_upsert(base, keys=["subj"], bucket_by=("subj", 8))
+    snap1 = tbl.snapshot()
+    assert snap1.buckets and len(snap1.buckets) == 8
+
+    # delta touches exactly one subject -> exactly one bucket
+    delta = spark.createDataFrame([("m:7", 9999, 2)], "subj string, obj int, ver int")
+    tbl.merge_upsert(delta, keys=["subj"])
+    snap2 = tbl.snapshot()
+    assert snap2.metrics["buckets_rewritten"] == 1
+    reused = [
+        b for b in snap2.buckets
+        if snap2.buckets[b] == snap1.buckets.get(b)
+    ]
+    assert len(reused) == 7  # all untouched buckets carried over verbatim
+
+    rows = {r["subj"]: (r["obj"], r["ver"]) for r in tbl.read().collect()}
+    assert len(rows) == 200
+    assert rows["m:7"] == (9999, 2)          # last write wins
+    assert rows["m:8"] == (1008, 1)          # untouched row intact
+
+
+def test_bucketed_merge_last_write_wins_and_inserts(spark, tmp_path):
+    from omop_concept_automapper_spark.catalog import Table
+
+    tbl = Table(spark, str(tmp_path / "t"))
+    tbl.merge_upsert(
+        spark.createDataFrame([("a", 1), ("b", 1)], "subj string, v int"),
+        keys=["subj"], bucket_by=("subj", 4),
+    )
+    tbl.merge_upsert(
+        spark.createDataFrame([("b", 2), ("c", 2)], "subj string, v int"),
+        keys=["subj"],
+    )
+    rows = {r["subj"]: r["v"] for r in tbl.read().collect()}
+    assert rows == {"a": 1, "b": 2, "c": 2}
