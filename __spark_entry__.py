@@ -447,7 +447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
 
     def dedup_embedding_cosine(spark, sf):
-        return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+        # hyperplane-LSH blocked (n_planes pinned so the oracle can render
+        # the same planes; the operator's default auto-scales with n_rows)
+        return embedding_neardup_pairs(
+            _t(spark, sf, "embeddings"), threshold=0.3, n_planes=6
+        )
 
     # -------------------------------------------------- similarity suite
     def ann_topk_vec0(spark, sf):
@@ -478,7 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_lsh_bucketed(spark, sf):
         emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
-        return lsh_bucketed_topk(emb, k=3, n_planes=4)
+        return lsh_bucketed_topk(emb, k=3, n_planes=6)
 
     # ------------------------------------------------- text analysis
     def text_quality_metrics(spark, sf):
@@ -723,6 +727,26 @@ def _minhash_sig_sql(as_string: bool = False) -> str:
         f"SELECT doc_id, {sig} AS signature "
         f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
     )
+
+
+def _hyperplane_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB rendering of similarity.hyperplane_bucket: same ±1 planes,
+    same left-to-right double adds — bitwise identical to the Spark column
+    expression, so bucket assignment hash-checks exactly."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        rademacher_planes,
+    )
+
+    planes = rademacher_planes(dim, n_planes, seed)
+    cases = []
+    for plane in planes:
+        terms = []
+        for i, w in enumerate(plane):
+            t = f"(embedding[{i + 1}]::DOUBLE)"
+            terms.append(t if w > 0 else f"(- {t})")
+        dot = " + ".join(terms)
+        cases.append(f"CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(cases) + ")"
 
 
 def _kg_golden_edges_sql(n_conversations: int = 40) -> str:
@@ -990,22 +1014,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS INT) AS simhash
             FROM sums""",
         "dedup_ngram_jaccard": f"""
-            WITH base AS (
-              SELECT doc_id, lang, CAST(FLOOR(n_chars / 100) AS INT) AS size_bkt,
-                     list_distinct({_TOKS}) AS toks
-              FROM documents)
-            SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+            -- LSH candidates (minhash banding) verified with exact Jaccard:
+            -- the scale-safe shape (verify O(candidates), never all-pairs)
+            WITH sigs AS ({_minhash_sig_sql()}),
+            bands AS (
+              SELECT doc_id, b AS band,
+                     md5(signature[2*b+1] || '|' || signature[2*b+2]) AS bucket
+              FROM sigs, UNNEST([0,1,2,3]) AS t(b)),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            tok AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+            SELECT doc_id_1, doc_id_2,
                    CAST(ROUND((len(list_intersect(l.toks, r.toks))::DOUBLE /
                         len(list_distinct(list_concat(l.toks, r.toks)))) * 10000) AS BIGINT) AS jaccard_bp
-            FROM base l JOIN base r
-              ON l.lang = r.lang AND l.size_bkt = r.size_bkt AND l.doc_id < r.doc_id
+            FROM cand JOIN tok l ON l.doc_id = cand.doc_id_1
+                      JOIN tok r ON r.doc_id = cand.doc_id_2
             WHERE CAST(ROUND((len(list_intersect(l.toks, r.toks))::DOUBLE /
                   len(list_distinct(list_concat(l.toks, r.toks)))) * 10000) AS BIGINT) >= 1000""",
         "dedup_embedding_cosine": f"""
+            WITH base AS (
+              SELECT vec_id, embedding, {_hyperplane_bucket_sql(6)} AS bkt
+              FROM embeddings)
             SELECT l.vec_id AS vec_id_1, r.vec_id AS vec_id_2,
                    CAST(ROUND({cos} * 10000) AS BIGINT) AS cosine_bp
-            FROM embeddings l JOIN embeddings r
-              ON l.label = r.label AND l.vec_id < r.vec_id
+            FROM base l JOIN base r
+              ON l.bkt = r.bkt AND l.vec_id < r.vec_id
             WHERE CAST(ROUND({cos} * 10000) AS BIGINT) >= 3000""",
         "ann_topk_vec0": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -1022,13 +1057,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
               FROM embeddings q JOIN embeddings e ON e.vec_id >= 20
               WHERE q.vec_id < 20) WHERE rank <= 5""",
-        "ann_lsh_bucketed": """
+        "ann_lsh_bucketed": f"""
             WITH base AS (
-              SELECT vec_id, embedding,
-                     (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-                      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-                      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-                      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bkt
+              SELECT vec_id, embedding, {_hyperplane_bucket_sql(6)} AS bkt
               FROM embeddings WHERE vec_id < 300)
             SELECT query_id, vec_id, rank, cosine_bp FROM (
               SELECT l.vec_id AS query_id, r.vec_id AS vec_id,

@@ -156,33 +156,45 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.1,
-    size_bucket: int = 100,
+    n_hashes: int = 8,
+    shingle_size: int = 3,
 ) -> DataFrame:
-    """Blocked pairwise token-set Jaccard.
+    """Token-set Jaccard over MinHash/LSH CANDIDATE pairs.
 
-    Blocking key = (lang, n_chars // size_bucket) keeps each block small so
-    the self-join is bounded (never an all-pairs cross join).  Jaccard is
-    emitted as basis points (int) so the oracle compare is float-safe.
+    The 100 TB shape: candidate generation is the banding bucket-equijoin
+    (``lsh_candidate_pairs`` — bucket sizes stay small globally), and the
+    exact Jaccard verify runs ONLY on candidates.  Round 1 blocked on a
+    fixed-cardinality (lang, size-bucket) key whose block sizes grow O(n)
+    with the corpus, turning the self-join quadratic at 100x; candidate
+    verification is O(candidates).  Jaccard is emitted as basis points
+    (int) so the oracle compare is float-safe.
     """
-    base = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / size_bucket).cast("int").alias("size_bkt"),
-        F.array_distinct(tokens_col("text")).alias("toks"),
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes=n_hashes, shingle_size=shingle_size)
     )
-    l, r = base.alias("l"), base.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.lang") == F.col("r.lang"))
-        & (F.col("l.size_bkt") == F.col("r.size_bkt"))
-        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    toks = docs.select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("toks")
     )
-    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
-    union = F.size(F.array_union(F.col("l.toks"), F.col("r.toks")))
+    pairs = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("toks_2")
+            ),
+            "doc_id_2",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("toks_1"), F.col("toks_2")))
+    union = F.size(F.array_union(F.col("toks_1"), F.col("toks_2")))
     jacc = inter.cast("double") / union
     return pairs.select(
-        F.col("l.doc_id").alias("doc_id_1"),
-        F.col("r.doc_id").alias("doc_id_2"),
+        "doc_id_1",
+        "doc_id_2",
         F.round(jacc * 10000).cast("long").alias("jaccard_bp"),
     ).where(F.col("jaccard_bp") >= int(threshold * 10000))
 
@@ -200,20 +212,40 @@ def cosine_col(a: Column, b: Column) -> Column:
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.3
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup candidates, blocked by label.
+    """Embedding-cosine near-dup candidates, blocked by random-hyperplane
+    LSH bucket.
 
-    At scale the blocking key would be an LSH bucket (see similarity.py);
-    label-blocking demonstrates the same bounded self-join shape.
+    Bucket count is 2^n_planes and ``n_planes`` scales with the corpus
+    (similarity.planes_for_corpus), so expected bucket size — and with it
+    the within-bucket self-join — stays bounded as the table grows.  Round
+    1 blocked on ``label`` (fixed cardinality ⇒ O(n²) growth at 100x).
     """
-    base = embeddings.select("vec_id", "label", "embedding")
+    from omop_concept_automapper_spark.operators.similarity import (
+        hyperplane_bucket,
+        planes_for_corpus,
+        rademacher_planes,
+    )
+
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
+    planes = rademacher_planes(dim, n_planes, seed)
+    base = embeddings.select(
+        "vec_id",
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), planes).alias("bkt"),
+    )
     l, r = base.alias("l"), base.alias("r")
     cos = cosine_col(F.col("l.embedding"), F.col("r.embedding"))
     return (
         l.join(
             r,
-            (F.col("l.label") == F.col("r.label"))
+            (F.col("l.bkt") == F.col("r.bkt"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
         .select(

@@ -183,8 +183,49 @@ def ivf_topk(
     )
 
 
+def rademacher_planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 random hyperplanes (signed-projection LSH).
+
+    Rademacher entries make the projection an ADD/SUB chain of the raw
+    coordinates — bitwise-reproducible in any engine that evaluates the
+    same left-to-right double sum, which is what lets a DuckDB oracle
+    hash-check the bucketing exactly.
+    """
+    rng = np.random.default_rng(seed)
+    return rng.choice(np.array([-1.0, 1.0]), size=(n_planes, dim))
+
+
+def planes_for_corpus(n_rows: int, target_bucket: int = 64) -> int:
+    """Bucket-count scaling rule: 2^n_planes buckets keep the EXPECTED
+    bucket size near ``target_bucket`` as the corpus grows — the fix for
+    fixed-cardinality blocking, whose block size grows O(n) and turns the
+    within-block self-join quadratic at 100x (SCALE.md)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def hyperplane_bucket(col, planes: np.ndarray):
+    """LSH bucket id: concatenated signs of ``planes @ v``, as a pure column
+    expression (left-to-right double adds, no UDF)."""
+    parts = []
+    for plane in planes:
+        dot = None
+        for i, w in enumerate(plane):
+            term = F.element_at(col, i + 1).cast("double")
+            if w < 0:
+                term = -term
+            dot = term if dot is None else dot + term
+        parts.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*parts)
+
+
 def sign_bucket(col, n_planes: int = 4):
-    """Coarse LSH bucket: concatenated signs of the first n_planes dims."""
+    """Deprecated coarse bucket (signs of the FIRST n dims): kept only for
+    comparison; fixed 2^n buckets degrade to O(n^2/2^n) at scale.  Use
+    ``hyperplane_bucket`` + ``planes_for_corpus``."""
     parts = [
         F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(n_planes)
@@ -193,12 +234,23 @@ def sign_bucket(col, n_planes: int = 4):
 
 
 def lsh_bucketed_topk(
-    embeddings: DataFrame, k: int = 3, n_planes: int = 4
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: candidates restricted to the same sign
-    bucket (bucket-equijoin instead of cross join)."""
+    """Approximate all-pairs top-k: candidates restricted to the same
+    random-hyperplane bucket (bucket-equijoin instead of cross join).
+    ``n_planes`` defaults to the corpus-scaled rule so bucket sizes stay
+    bounded as the table grows."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
+    planes = rademacher_planes(dim, n_planes, seed)
     base = embeddings.select(
-        "vec_id", "embedding", sign_bucket(F.col("embedding"), n_planes).alias("bkt")
+        "vec_id",
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), planes).alias("bkt"),
     )
     l, r = base.alias("l"), base.alias("r")
     cos = cosine_col(F.col("l.embedding"), F.col("r.embedding"))
