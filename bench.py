@@ -77,7 +77,30 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     timings["kg_extract_link"] = kg["sec_extract_link"]
+    timings["kg_extract_link_fileidx"] = kg["sec_extract_link_fileidx"]
     timings["kg_canonicalize"] = kg["sec_canonicalize"]
+
+    # CC at scale: 10^6 edges including a 200k-degree hub (SCALE.md claim:
+    # hubs contract in one round, rounds stay O(log n))
+    from pyspark.sql import functions as F
+
+    from omop_concept_automapper_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    n_hub, n_cc = 200_000, 1_000_000
+    hub = spark.range(1, n_hub).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    rest = spark.range(n_hub, n_cc).select(
+        F.col("id").alias("src"),
+        (F.col("id") - F.col("id") % 50).cast("long").alias("dst"),
+    )
+    cc_edges = hub.union(rest).localCheckpoint(eager=True)  # input untimed
+    cc_stats: dict = {}
+    t0 = time.perf_counter()
+    force(connected_components(cc_edges, stats=cc_stats))
+    timings["cc_components_1m"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -89,8 +112,10 @@ def main() -> None:
         "cpus": cpus,
         "kg_n_turns": kg["n_turns"],
         "kg_turns_per_sec": kg["turns_per_sec_extract_link"],
+        "kg_turns_per_sec_fileidx": kg["turns_per_sec_fileidx"],
         "kg_turns_per_sec_e2e": kg["turns_per_sec_e2e"],
         "kg_edges": kg["edges"],
+        "cc_1m_rounds": cc_stats.get("rounds"),
     }
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()

@@ -28,7 +28,11 @@ from omop_concept_automapper_spark.fixtures.vocabulary import (
     build_lexicon,
     vocab_dataframes,
 )
-from omop_concept_automapper_spark.operators.knn import link_mentions
+from omop_concept_automapper_spark.operators.knn import (
+    build_vocab_index_files,
+    link_mentions,
+    link_mentions_file_index,
+)
 from omop_concept_automapper_spark.plans.graph import (
     accepted_mappings,
     build_edges,
@@ -71,10 +75,14 @@ def run_kg_bench(
     lexicon = build_lexicon()
 
     # vocab prep (constant-size dimension work)
-    t_vocab, vocab_pdf = timed(
-        lambda: build_vocab_embeddings(*vocab_dataframes(spark, seed))
-        .select("concept_id", "concept_name", "domain_id", "atc7_codes", "vector")
-        .toPandas()
+    vocab_df = build_vocab_embeddings(*vocab_dataframes(spark, seed)).select(
+        "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+    )
+    t_vocab, vocab_pdf = timed(vocab_df.toPandas)
+    # production-path index: file-backed shards, loaded executor-side
+    idx_path = os.path.join(out_dir, "vocab_index")
+    t_idx, _ = timed(
+        lambda: build_vocab_index_files(vocab_df, idx_path, n_shards=4)
     )
 
     transcripts = spark.read.parquet(transcripts_path)
@@ -113,6 +121,21 @@ def run_kg_bench(
         t2, accepted = timed(extract_link)
         t_link = min(t_link, t2)
 
+    def extract_link_fileidx():
+        occ = extract_mention_occurrences(
+            transcripts, [e["mention_text"] for e in lexicon]
+        )
+        mentions = build_mention_table(spark, occ, lexicon)
+        links = link_mentions_file_index(spark, mentions, idx_path)
+        links.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "links_fileidx")
+        )
+
+    t_link_file, _ = timed(extract_link_fileidx)
+    for _ in range(max(0, repeats - 1)):
+        t2, _ = timed(extract_link_fileidx)
+        t_link_file = min(t_link_file, t2)
+
     def canonicalize():
         # reads the materialized links stage — no recompute of the scan
         nodes = build_nodes(accepted)
@@ -126,8 +149,11 @@ def run_kg_bench(
         "n_turns": n_turns,
         "edges": edges_n,
         "sec_vocab_prep": round(t_vocab, 3),
+        "sec_index_build": round(t_idx, 3),
         "sec_extract_link": round(t_link, 3),
+        "sec_extract_link_fileidx": round(t_link_file, 3),
         "sec_canonicalize": round(t_canon, 3),
         "turns_per_sec_extract_link": round(n_turns / t_link, 1),
+        "turns_per_sec_fileidx": round(n_turns / t_link_file, 1),
         "turns_per_sec_e2e": round(n_turns / (t_link + t_canon), 1),
     }

@@ -62,12 +62,14 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 20, stats: dict | None = None
 ) -> DataFrame:
     """Compute components of an undirected graph.
 
     Input: DataFrame(src long, dst long).  Output: DataFrame(node long,
     component long) covering every node, component = min node id reachable.
+    ``stats`` (optional dict) receives {"rounds": n} — used by the scale
+    tests to pin O(log n) convergence and one-round hub contraction.
     """
     all_nodes = (
         edges.select(F.col("src").alias("node"))
@@ -77,12 +79,16 @@ def connected_components(
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     cur = cur.localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
+    rounds = 0
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        rounds += 1
         sig = _checksum(cur)
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixed point: every edge is (node -> component root)
     labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = all_nodes.join(

@@ -313,3 +313,117 @@ def test_stage_links_never_collects_vocab_to_driver(spark, tmp_path, monkeypatch
     monkeypatch.setattr(pyspark.sql.DataFrame, "toPandas", boom)
     links = pipe.stage_links(mentions, vocab)
     assert links.where("error is null").count() > 0
+
+
+def test_drug_vs_concept_reranker_seam(spark):
+    """Pin the drug/concept path divergence exactly as the reference
+    prescribes (auto_mapper.py:61-81, 142-161):
+      * drug WITH ATC7  -> k=30, candidates restricted to concepts carrying
+        that code (MatchAny over the array payload), method auto_drug,
+        pred maps-to-value;
+      * drug WITHOUT ATC7 -> k=30 but UNFILTERED search (hard part (c)),
+        method auto_drug, pred maps-to;
+      * non-drug -> k=15, unfiltered, method auto_standard, pred maps-to.
+    If a real model UDF ever replaces the deterministic scorer, this seam
+    (k_used + candidate pool per mapping_method) must keep diverging."""
+    from omop_concept_automapper_spark.fixtures.vocabulary import vocab_dataframes
+    from omop_concept_automapper_spark.operators.knn import (
+        build_vocab_index,
+        link_batch,
+    )
+    from omop_concept_automapper_spark.plans.graph import build_edges
+    from omop_concept_automapper_spark.plans.vocab_prep import (
+        build_vocab_embeddings,
+    )
+
+    vocab_pdf = (
+        build_vocab_embeddings(*vocab_dataframes(spark))
+        .select("concept_id", "concept_name", "domain_id", "atc7_codes", "vector")
+        .toPandas()
+    )
+    index = build_vocab_index(vocab_pdf)
+    n_vocab = len(vocab_pdf)
+    code = "A10BA02"  # metformin
+    allowed_ids = {
+        int(vocab_pdf.iloc[i]["concept_id"])
+        for i in index["atc7_inverted"][code]
+    }
+
+    pdf = pd.DataFrame(
+        {
+            "mention_id": [1, 2, 3],
+            "mention_text": [
+                f"{code} metformin 500 mg oral tablet",  # drug + ATC7
+                "sertraline 20 mg oral capsule",          # drug, no ATC7
+                "acute bronchitis",                        # standard concept
+            ],
+            "is_drug": [True, True, False],
+            "atc7": [code, "", ""],
+        }
+    )
+    out = link_batch(pdf, index).set_index("mention_id")
+
+    with_code = out.loc[1]
+    assert with_code["mapping_method"] == "auto_drug"
+    assert with_code["k_used"] == 30
+    cands = set(int(c) for c in with_code["candidate_ids"])
+    assert cands and cands <= allowed_ids  # ATC7 MatchAny filter applied
+    assert with_code["n_candidates"] == min(30, len(allowed_ids))
+
+    no_code = out.loc[2]
+    assert no_code["mapping_method"] == "auto_drug"
+    assert no_code["k_used"] == 30
+    assert no_code["n_candidates"] == min(30, n_vocab)  # UNFILTERED pool
+    assert not set(int(c) for c in no_code["candidate_ids"]) <= allowed_ids
+
+    std = out.loc[3]
+    assert std["mapping_method"] == "auto_standard"
+    assert std["k_used"] == 15
+    assert std["n_candidates"] == min(15, n_vocab)
+
+    # pred seam on the emitted triples
+    links_df = spark.createDataFrame(out.reset_index())
+    preds = {
+        r["mention_id"]: r["pred"]
+        for r in build_edges(
+            links_df.where("confidence >= 8"), None
+        ).join(
+            links_df.select("mention_id", "mention_text"), "mention_text"
+        ).collect()
+    }
+    assert preds[1] == "maps-to-value"
+    assert preds[2] == "maps-to"
+    assert preds[3] == "maps-to"
+
+
+def test_cc_million_edges_skewed_hub(spark):
+    """CC at realistic scale: 10^6 edges including a 200k-degree hub.
+    The hub is a star and must contract immediately; total rounds stay
+    O(log n) (the claimed scale behavior, SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from omop_concept_automapper_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    n_hub, n = 200_000, 1_000_000
+    hub = spark.range(1, n_hub).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    rest = spark.range(n_hub, n).select(
+        F.col("id").alias("src"),
+        (F.col("id") - F.col("id") % 50).cast("long").alias("dst"),
+    )
+    # materialize the synthetic edge table first (mirrors reading edges
+    # from storage; also sidesteps a Catalyst constraint-propagation bug on
+    # unioned range plans under ANSI mode)
+    edges = hub.union(rest).localCheckpoint(eager=True)
+    stats = {}
+    labels = connected_components(edges, stats=stats)
+    assert stats["rounds"] <= 6  # star-heavy graph converges in few rounds
+    assert (
+        labels.where((F.col("node") < n_hub) & (F.col("component") != 0)).count()
+        == 0
+    )
+    n_components = labels.select("component").distinct().count()
+    assert n_components == 1 + (n - n_hub) // 50
