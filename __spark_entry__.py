@@ -512,37 +512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --------------------------------------- KG pipeline (golden-compare)
     def kg_pipeline_edges(spark, sf):
-        from omop_concept_automapper_spark.fixtures.transcripts import (
-            transcripts_dataframe,
-        )
-        from omop_concept_automapper_spark.fixtures.vocabulary import (
-            build_lexicon,
-            vocab_dataframes,
-        )
-        from omop_concept_automapper_spark.operators.knn import link_mentions
         from omop_concept_automapper_spark.plans.graph import (
             accepted_mappings,
             build_edges,
         )
-        from omop_concept_automapper_spark.plans.mentions import (
-            build_mention_table,
-            extract_mention_occurrences,
-        )
-        from omop_concept_automapper_spark.plans.vocab_prep import (
-            build_vocab_embeddings,
-        )
 
-        concept, rel, anc = vocab_dataframes(spark)
-        lexicon = build_lexicon()
-        vocab_pdf = build_vocab_embeddings(concept, rel, anc).select(
-            "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
-        ).toPandas()
-        transcripts = transcripts_dataframe(spark, n_conversations=40)
-        occ = extract_mention_occurrences(
-            transcripts, [e["mention_text"] for e in lexicon]
-        )
-        mentions = build_mention_table(spark, occ, lexicon)
-        links = link_mentions(spark, mentions, vocab_pdf)
+        links = _kg_links(spark)
         edges = build_edges(accepted_mappings(links, threshold=8), None)
         # hash-checked against the sequential reference-algorithm oracle
         # (plans/oracle.py -> literal VALUES in oracle_sql()); subj hash-id
@@ -653,6 +628,163 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tbl.merge_upsert(delta, keys=["subj"])
         return tbl.read().select("subj", "obj", "ver")
 
+    def s3_full_replace(spark, sf):
+        import tempfile
+
+        from omop_concept_automapper_spark.catalog import Table
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.sources.imports import replace_table
+
+        p = write_gate_fixtures()
+        tbl = Table(spark, tempfile.mkdtemp(prefix="ocas_gate_replace_"))
+        tbl.overwrite(spark.read.parquet(p["edges_base"]))
+        replace_table(tbl, spark.read.parquet(p["edges_delta"]))
+        return tbl.read().select("subj", "obj", "ver")
+
+    def s7_delete_where(spark, sf):
+        import tempfile
+
+        from omop_concept_automapper_spark.catalog import Table
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        tbl = Table(spark, tempfile.mkdtemp(prefix="ocas_gate_delete_"))
+        tbl.overwrite(spark.read.parquet(p["links"]))
+        tbl.delete_where(F.col("mapping_method") == "auto_drug")
+        return tbl.read().select("mention_id", "mention_text", "mapping_method")
+
+    def p3_domain_filter(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.plans.vocab_prep import (
+            standard_embeddable,
+        )
+
+        p = write_gate_fixtures()
+        concept = spark.read.parquet(p["concept"])
+        return standard_embeddable(concept, domain_filter="Drug").select(
+            "concept_id", "concept_name", "domain_id"
+        )
+
+    def a5_atc7_summary(spark, sf):
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.plans.vocab_prep import derive_atc7
+
+        p = write_gate_fixtures()
+        atc7 = derive_atc7(
+            spark.read.parquet(p["concept"]),
+            spark.read.parquet(p["concept_relationship"]),
+            spark.read.parquet(p["concept_ancestor"]),
+        )
+        return atc7.agg(
+            F.count(F.lit(1)).alias("n_drugs"),
+            F.sum(F.size("atc7_codes")).alias("total_codes"),
+            F.round(F.avg(F.size("atc7_codes")) * 10000)
+            .cast("long")
+            .alias("avg_codes_bp"),
+        )
+
+    def kg_mention_freqs(spark, sf):
+        # mention-detection UDF + frequency groupBy, hash-checked against
+        # the sequential oracle's detection counts (golden VALUES)
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import (
+            build_lexicon,
+        )
+        from omop_concept_automapper_spark.plans.mentions import (
+            extract_mention_occurrences,
+        )
+
+        t = transcripts_dataframe(spark, n_conversations=40)
+        occ = extract_mention_occurrences(
+            t, [e["mention_text"] for e in build_lexicon()]
+        )
+        return occ.groupBy("mention_text").agg(
+            F.count(F.lit(1)).alias("freq")
+        )
+
+    def w6_turn_ordering_invariant(spark, sf):
+        # input_hint invariant: per-turn text passes through byte-identical
+        # under stable (conv_id, turn_idx) ordering
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        t = spark.read.parquet(p["transcripts"])
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        return t.select(
+            "conv_id",
+            "turn_idx",
+            F.row_number().over(w).alias("seq"),
+            F.md5("text").alias("text_md5"),
+        )
+
+    def _kg_links(spark, target_domains=None):
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import (
+            build_lexicon,
+            vocab_dataframes,
+        )
+        from omop_concept_automapper_spark.operators.knn import link_mentions
+        from omop_concept_automapper_spark.plans.mentions import (
+            build_mention_table,
+            extract_mention_occurrences,
+        )
+        from omop_concept_automapper_spark.plans.vocab_prep import (
+            build_vocab_embeddings,
+        )
+
+        concept, rel, anc = vocab_dataframes(spark)
+        lexicon = build_lexicon()
+        vocab_pdf = build_vocab_embeddings(concept, rel, anc).select(
+            "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+        ).toPandas()
+        transcripts = transcripts_dataframe(spark, n_conversations=40)
+        occ = extract_mention_occurrences(
+            transcripts, [e["mention_text"] for e in lexicon]
+        )
+        mentions = build_mention_table(spark, occ, lexicon)
+        return link_mentions(
+            spark, mentions, vocab_pdf, target_domains=target_domains
+        )
+
+    def kg_pipeline_edges_domain_filtered(spark, sf):
+        # P4: MatchAny domain filter pushed into the vector-search mask
+        # (reference vector_store.py:141-156), golden-checked end to end
+        from omop_concept_automapper_spark.plans.graph import (
+            accepted_mappings,
+            build_edges,
+        )
+
+        links = _kg_links(spark, target_domains=["Condition", "Measurement"])
+        edges = build_edges(accepted_mappings(links, threshold=8), None)
+        return edges.select(
+            "mention_text",
+            "pred",
+            F.col("obj").cast("long").alias("obj"),
+            F.col("confidence").cast("long").alias("confidence"),
+        )
+
+    def kg_rejections(spark, sf):
+        # the other side of the P5 gate: linked but below-threshold mentions
+        # are rejected (never become edges), golden-checked
+        links = _kg_links(spark)
+        return links.where(
+            F.col("error").isNull() & (F.col("confidence") < 8)
+        ).select("mention_text", F.col("confidence").cast("long").alias("confidence"))
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue_topn": q3_segment_revenue_topn,
@@ -704,6 +836,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_confidence_gate": p5_confidence_gate,
         "j4_checkpoint_antijoin": j4_checkpoint_antijoin,
         "s2_merge_upsert": s2_merge_upsert,
+        "s3_full_replace": s3_full_replace,
+        "s7_delete_where": s7_delete_where,
+        "p3_domain_filter": p3_domain_filter,
+        "a5_atc7_summary": a5_atc7_summary,
+        "kg_mention_freqs": kg_mention_freqs,
+        "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
+        "kg_pipeline_edges_domain_filtered": kg_pipeline_edges_domain_filtered,
+        "kg_rejections": kg_rejections,
     }
 
 
@@ -749,14 +889,24 @@ def _hyperplane_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42) -> str:
     return "(" + " || ".join(cases) + ")"
 
 
-def _kg_golden_edges_sql(n_conversations: int = 40) -> str:
+def _kg_golden_edges_sql(
+    n_conversations: int = 40, target_domains: list[str] | None = None
+) -> str:
     """Golden edges from the sequential reference-algorithm oracle
     (plans/oracle.py — a faithful port of reference auto_mapper.py:83-225
     with the same deterministic embedder/reranker), rendered as literal
     VALUES so DuckDB can hash-check the distributed pipeline's output."""
-    from omop_concept_automapper_spark.plans.oracle import oracle_link_default
+    from omop_concept_automapper_spark.plans.oracle import (
+        oracle_link,
+        oracle_link_default,
+    )
 
-    golden = oracle_link_default(n_conversations=n_conversations)["edges"]
+    if target_domains:
+        golden = oracle_link(
+            n_conversations=n_conversations, target_domains=target_domains
+        )["edges"]
+    else:
+        golden = oracle_link_default(n_conversations=n_conversations)["edges"]
     if not golden:
         return (
             "SELECT CAST(NULL AS VARCHAR) AS mention_text, "
@@ -776,6 +926,43 @@ def _kg_golden_edges_sql(n_conversations: int = 40) -> str:
         f"SELECT mention_text, pred, CAST(obj AS BIGINT) AS obj, "
         f"CAST(confidence AS BIGINT) AS confidence "
         f"FROM (VALUES {rows}) AS t(mention_text, pred, obj, confidence)"
+    )
+
+
+def _kg_golden_rejections_sql(n_conversations: int = 40) -> str:
+    """Golden below-threshold (rejected) linked mentions from the
+    sequential oracle."""
+    from omop_concept_automapper_spark.plans.oracle import oracle_link_default
+
+    golden = [
+        r
+        for r in oracle_link_default(n_conversations=n_conversations)["results"]
+        if r.get("status") == "rejected"
+    ]
+    rows = ", ".join(
+        "('{m}', {c})".format(
+            m=r["mention_text"].replace("'", "''"), c=int(r["confidence"])
+        )
+        for r in sorted(golden, key=lambda r: r["mention_text"])
+    )
+    return (
+        f"SELECT mention_text, CAST(confidence AS BIGINT) AS confidence "
+        f"FROM (VALUES {rows}) AS t(mention_text, confidence)"
+    )
+
+
+def _kg_mention_freqs_sql(n_conversations: int = 40) -> str:
+    """Golden mention-detection frequencies from the sequential oracle."""
+    from omop_concept_automapper_spark.plans.oracle import oracle_link_default
+
+    freq = oracle_link_default(n_conversations=n_conversations)["freq"]
+    rows = ", ".join(
+        "('{m}', {n})".format(m=m.replace("'", "''"), n=int(freq[m]))
+        for m in sorted(freq)
+    )
+    return (
+        f"SELECT mention_text, CAST(freq AS BIGINT) AS freq "
+        f"FROM (VALUES {rows}) AS t(mention_text, freq)"
     )
 
 
@@ -1142,6 +1329,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj, obj, ver FROM read_parquet('{fx["edges_base"]}')
             WHERE subj NOT IN
                   (SELECT subj FROM read_parquet('{fx["edges_delta"]}'))""",
+        "s3_full_replace": f"""
+            SELECT subj, obj, ver FROM read_parquet('{fx["edges_delta"]}')""",
+        "s7_delete_where": f"""
+            SELECT mention_id, mention_text, mapping_method
+            FROM read_parquet('{fx["links"]}')
+            WHERE mapping_method != 'auto_drug'""",
+        "p3_domain_filter": f"""
+            SELECT concept_id, concept_name, domain_id
+            FROM read_parquet('{fx["concept"]}')
+            WHERE standard_concept = 'S'
+              AND lower(concept_class_id) NOT LIKE '%box%'
+              AND lower(concept_class_id) NOT LIKE '%marketed%'
+              AND domain_id = 'Drug'""",
+        "a5_atc7_summary": f"""
+            WITH c AS (SELECT * FROM read_parquet('{fx["concept"]}')),
+            rel AS (SELECT * FROM read_parquet('{fx["concept_relationship"]}')),
+            anc AS (SELECT * FROM read_parquet('{fx["concept_ancestor"]}')),
+            drugs AS (SELECT concept_id FROM c
+                      WHERE domain_id = 'Drug' AND standard_concept = 'S'),
+            atc AS (SELECT concept_id AS atc_id, concept_code AS atc_code
+                    FROM c WHERE vocabulary_id = 'ATC'),
+            rel_path AS (
+              SELECT d.concept_id, a.atc_code FROM drugs d
+              JOIN rel ON rel.concept_id_1 = d.concept_id
+                AND rel.relationship_id IN ('Maps to','RxNorm has ing','Mapped from')
+                AND rel.invalid_reason IS NULL
+              JOIN atc a ON rel.concept_id_2 = a.atc_id),
+            anc_path AS (
+              SELECT d.concept_id, a.atc_code FROM drugs d
+              JOIN anc ON anc.descendant_concept_id = d.concept_id
+              JOIN atc a ON anc.ancestor_concept_id = a.atc_id
+                AND length(a.atc_code) = 7),
+            bothp AS (SELECT * FROM rel_path UNION SELECT * FROM anc_path),
+            per_drug AS (
+              SELECT concept_id, COUNT(*) AS n_codes FROM bothp
+              WHERE length(atc_code) = 7 GROUP BY concept_id)
+            SELECT COUNT(*) AS n_drugs,
+                   CAST(SUM(n_codes) AS BIGINT) AS total_codes,
+                   CAST(ROUND(AVG(n_codes) * 10000) AS BIGINT) AS avg_codes_bp
+            FROM per_drug""",
+        "kg_mention_freqs": _kg_mention_freqs_sql(n_conversations=40),
+        "w6_turn_ordering_invariant": f"""
+            SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                     ORDER BY turn_idx ASC) AS seq,
+                   md5(text) AS text_md5
+            FROM read_parquet('{fx["transcripts"]}')""",
         "ann_ivf_topk": """
             -- full-probe IVF degrades to exact kNN: brute-force oracle,
             -- same rounded-bp ordering + vec_id-asc tie-break as the engine
@@ -1154,6 +1388,10 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
               WHERE q.vec_id < 8) WHERE rank <= 5""",
         "kg_pipeline_edges": _kg_golden_edges_sql(n_conversations=40),
+        "kg_pipeline_edges_domain_filtered": _kg_golden_edges_sql(
+            n_conversations=40, target_domains=["Condition", "Measurement"]
+        ),
+        "kg_rejections": _kg_golden_rejections_sql(n_conversations=40),
         "cc_components": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,

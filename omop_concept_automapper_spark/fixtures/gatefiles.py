@@ -63,6 +63,7 @@ def write_gate_fixtures(root: str = GATE_FIXTURE_DIR) -> dict[str, str]:
 
     os.makedirs(root, exist_ok=True)
     paths = {
+        "transcripts": os.path.join(root, "transcripts.parquet"),
         "source_concepts_csv": os.path.join(root, "source_concepts.csv"),
         "concept": os.path.join(root, "concept.parquet"),
         "concept_relationship": os.path.join(root, "concept_relationship.parquet"),
@@ -76,6 +77,22 @@ def write_gate_fixtures(root: str = GATE_FIXTURE_DIR) -> dict[str, str]:
     _atomic_write_bytes(
         paths["source_concepts_csv"], _source_concepts_csv_text().encode()
     )
+
+    # transcripts fixture (40 conversations — same slice the kg gate links)
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        generate_transcript_rows,
+    )
+
+    tr = pd.DataFrame(
+        generate_transcript_rows(40),
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    tr["turn_idx"] = tr["turn_idx"].astype("int32")
+    # micros, not pandas-default nanos: Spark cannot read TIMESTAMP(NANOS)
+    tr["ts"] = (
+        pd.to_datetime(tr["ts"], utc=True).dt.tz_localize(None).astype("datetime64[us]")
+    )
+    _write_parquet(paths["transcripts"], pa.Table.from_pandas(tr, preserve_index=False))
 
     v = build_mini_vocab()
     concept = pd.DataFrame(
