@@ -93,6 +93,8 @@ def main() -> None:
             "n_cores": N_CORES,
             "n4_cores": N4_CORES,
             "repeats": REPEATS,
+            # fileidx = production path (file-backed index, the path
+            # plans/runner.py runs); extract_link = driver-broadcast variant
             "median_tps_extract_link": {str(N_CORES): lo_tps, str(N4_CORES): hi_tps},
             "median_tps_e2e": {str(N_CORES): lo_e2e, str(N4_CORES): hi_e2e},
             "median_tps_fileidx": {str(N_CORES): lo_fi, str(N4_CORES): hi_fi},
@@ -125,15 +127,22 @@ the framework measurement; raw python-multiprocessing calibration on this
 host: 8->32 procs ceilings at 0.73, 4->16 at ~0.82).  Medians of
 {r['repeats']} alternating runs, one fresh JVM per run.
 
+Both timed variants run the identical full chain (scan -> detect ->
+mention table -> retrieve+rerank -> links write -> confidence gate ->
+edges write); they differ only in index distribution.  The file-backed
+index is the production path (plans/runner.py stage_links).
+
 | metric (median) | local[{n}] | local[{n4}] |
 |---|---|---|
-| extract+link turns/sec (broadcast index) | {lo:,} | {hi:,} |
 | extract+link turns/sec (file-backed index, production path) | {r['median_tps_fileidx'][n]:,} | {r['median_tps_fileidx'][n4]:,} |
+| extract+link turns/sec (driver-broadcast index variant) | {lo:,} | {hi:,} |
 | e2e (incl. canonicalize) turns/sec | {r['median_tps_e2e'][n]:,} | {r['median_tps_e2e'][n4]:,} |
 
-**Scaling efficiency (extract+link) = (tps@{n4} / tps@{n}) / 4 =
-{r['scaling_efficiency_extract_link']}** (target >= 0.8, BASELINE.json).
-File-backed-index path efficiency: {r['scaling_efficiency_fileidx']}.
+**Scaling efficiency (extract+link, production path) =
+(tps@{n4} / tps@{n}) / 4 = {r['scaling_efficiency_fileidx']}**
+(target >= 0.8, BASELINE.json).
+Driver-broadcast variant efficiency:
+{r['scaling_efficiency_extract_link']}.
 E2E efficiency incl. the corpus-size-independent canonicalization stage:
 {r['scaling_efficiency_e2e']}.
 
