@@ -785,6 +785,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("error").isNull() & (F.col("confidence") < 8)
         ).select("mention_text", F.col("confidence").cast("long").alias("confidence"))
 
+    def p1_standard_projection(spark, sf):
+        # P1: the standard-concept view projection (reference seed.sql:31-40)
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        c = spark.read.parquet(p["concept"])
+        return c.where(F.col("standard_concept") == "S").select(
+            "concept_id", "concept_name", "domain_id", "vocabulary_id",
+            "concept_class_id", "standard_concept", "concept_code",
+        )
+
+    def s6_export_roundtrip(spark, sf):
+        # S6: mapped CSV export (reference commit.py:60-68) — written by the
+        # engine, read back, and hash-checked against the pure-SQL join
+        import tempfile
+
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.sources.imports import (
+            export_mapped_csv,
+        )
+
+        p = write_gate_fixtures()
+        links = spark.read.parquet(p["links"])
+        concept = spark.read.parquet(p["concept"])
+        mapped = (
+            links.where(F.col("error").isNull() & (F.col("confidence") >= 8))
+            .join(
+                F.broadcast(
+                    concept.select("concept_id", "concept_name", "domain_id")
+                ),
+                "concept_id",
+            )
+            .select(
+                "mention_id", "mention_text", "concept_id", "concept_name",
+                "domain_id",
+            )
+        )
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="ocas_gate_export_"), "mapped_csv"
+        )
+        export_mapped_csv(mapped, out)
+        back = spark.read.option("header", True).csv(out)
+        return back.select(
+            F.col("mention_id").cast("long").alias("mention_id"),
+            "mention_text",
+            F.col("concept_id").cast("long").alias("concept_id"),
+            "concept_name",
+            "domain_id",
+        )
+
+    def j8_audit_stats(spark, sf):
+        # J8: audit stats joined to the concept dim (reference
+        # utils.py:171-254); sums not averages so values are exact ints
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        links = spark.read.parquet(p["links"])
+        concept = spark.read.parquet(p["concept"])
+        joined = links.where(F.col("error").isNull()).join(
+            F.broadcast(concept.select("concept_id", "domain_id")), "concept_id"
+        )
+        return joined.groupBy("mapping_method", "domain_id").agg(
+            F.count(F.lit(1)).alias("n_mappings"),
+            F.sum("confidence").cast("long").alias("sum_conf"),
+            F.min("confidence").cast("long").alias("min_conf"),
+            F.max("confidence").cast("long").alias("max_conf"),
+        )
+
+    def o1_work_queue(spark, sf):
+        # O1: unmapped work-queue ordering, freq DESC (reference
+        # mapping.py:33); rank emitted as a column so the order is hashed
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.sources.imports import (
+            read_source_concepts_csv,
+        )
+
+        p = write_gate_fixtures()
+        src = read_source_concepts_csv(spark, p["source_concepts_csv"], 7)
+        w = Window.orderBy(F.desc("freq"), F.asc("source_value"))
+        return src.select(
+            "source_value",
+            "freq",
+            F.row_number().over(w).cast("long").alias("queue_pos"),
+        )
+
+    def s8_lineage_partitions(spark, sf):
+        # S8/ST3: per-partition lineage recorded in the snapshot manifest
+        # (reference imports.py:163-179 audit log) — the manifest's
+        # partition->rows map must equal a GROUP BY over the same data
+        import tempfile
+
+        from omop_concept_automapper_spark.catalog import Table
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        links = spark.read.parquet(p["links"])
+        tbl = Table(spark, tempfile.mkdtemp(prefix="ocas_gate_lineage_"))
+        snap = tbl.overwrite(links, partition_by=["mapping_method"])
+        lin = snap.metrics["lineage"]["rows_per_partition"]
+        rows = [(k.split("=", 1)[1], int(v)) for k, v in sorted(lin.items())]
+        return spark.createDataFrame(rows, "mapping_method string, n_rows long")
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue_topn": q3_segment_revenue_topn,
@@ -844,6 +956,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
         "kg_pipeline_edges_domain_filtered": kg_pipeline_edges_domain_filtered,
         "kg_rejections": kg_rejections,
+        "p1_standard_projection": p1_standard_projection,
+        "s6_export_roundtrip": s6_export_roundtrip,
+        "j8_audit_stats": j8_audit_stats,
+        "o1_work_queue": o1_work_queue,
+        "s8_lineage_partitions": s8_lineage_partitions,
     }
 
 
@@ -1392,6 +1509,44 @@ def oracle_sql() -> dict[str, str]:
             n_conversations=40, target_domains=["Condition", "Measurement"]
         ),
         "kg_rejections": _kg_golden_rejections_sql(n_conversations=40),
+        "p1_standard_projection": f"""
+            SELECT concept_id, concept_name, domain_id, vocabulary_id,
+                   concept_class_id, standard_concept, concept_code
+            FROM read_parquet('{fx["concept"]}')
+            WHERE standard_concept = 'S'""",
+        "s6_export_roundtrip": f"""
+            SELECT CAST(l.mention_id AS BIGINT) AS mention_id,
+                   l.mention_text,
+                   CAST(l.concept_id AS BIGINT) AS concept_id,
+                   c.concept_name, c.domain_id
+            FROM read_parquet('{fx["links"]}') l
+            JOIN read_parquet('{fx["concept"]}') c
+              ON l.concept_id = c.concept_id
+            WHERE l.error IS NULL AND l.confidence >= 8""",
+        "j8_audit_stats": f"""
+            SELECT l.mapping_method, c.domain_id,
+                   COUNT(*) AS n_mappings,
+                   CAST(SUM(l.confidence) AS BIGINT) AS sum_conf,
+                   CAST(MIN(l.confidence) AS BIGINT) AS min_conf,
+                   CAST(MAX(l.confidence) AS BIGINT) AS max_conf
+            FROM read_parquet('{fx["links"]}') l
+            JOIN read_parquet('{fx["concept"]}') c
+              ON l.concept_id = c.concept_id
+            WHERE l.error IS NULL
+            GROUP BY l.mapping_method, c.domain_id""",
+        "o1_work_queue": f"""
+            WITH src AS (
+              SELECT source_value,
+                     COALESCE(TRY_CAST(freq AS INTEGER), 1) AS freq
+              FROM read_csv('{fx["source_concepts_csv"]}', header=true, all_varchar=true))
+            SELECT source_value, freq,
+                   ROW_NUMBER() OVER
+                     (ORDER BY freq DESC, source_value ASC) AS queue_pos
+            FROM src""",
+        "s8_lineage_partitions": f"""
+            SELECT mapping_method, COUNT(*) AS n_rows
+            FROM read_parquet('{fx["links"]}')
+            GROUP BY mapping_method""",
         "cc_components": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,

@@ -32,29 +32,39 @@ print("RESULT_JSON:" + json.dumps(res))
 """
 
 
-def run_at(cores: int, transcripts: str, n_conv: int) -> dict:
-    out_dir = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _RUNNER, transcripts, out_dir, str(cores), str(n_conv)],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            # inner min-of-2 per subprocess + outer median-of-REPEATS: this
-            # VM shows reproducible multi-second stalls in single passes
-            # (measured: dropping the inner min cost the broadcast path
-            # 0.12 efficiency), so keep both noise guards
-            env={**os.environ, "SPARK_GRAFT_KG_REPEATS": "2"},
-        )
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT_JSON:"):
-                return json.loads(line[len("RESULT_JSON:"):])
-        raise RuntimeError(
-            f"no result from cores={cores}: {proc.stdout[-2000:]} {proc.stderr[-2000:]}"
-        )
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+def run_at(cores: int, transcripts: str, n_conv: int, attempts: int = 2) -> dict:
+    # per-subprocess timeout + retry: this VM occasionally deadlocks a whole
+    # local-mode session mid-stage (driver blocked on py4j, JVM and python
+    # workers all idle — observed once per ~10 runs); a fresh JVM retry
+    # recovers, an hour-long timeout would just burn the budget
+    last_err = None
+    for _ in range(attempts):
+        out_dir = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _RUNNER, transcripts, out_dir, str(cores), str(n_conv)],
+                capture_output=True,
+                text=True,
+                timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "1500")),
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                # inner min-of-2 per subprocess + outer median-of-REPEATS:
+                # this VM shows reproducible multi-second stalls in single
+                # passes (measured: dropping the inner min cost the
+                # broadcast path 0.12 efficiency), so keep both noise guards
+                env={**os.environ, "SPARK_GRAFT_KG_REPEATS": "2"},
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("RESULT_JSON:"):
+                    return json.loads(line[len("RESULT_JSON:"):])
+            last_err = RuntimeError(
+                f"no result from cores={cores}: "
+                f"{proc.stdout[-2000:]} {proc.stderr[-2000:]}"
+            )
+        except subprocess.TimeoutExpired as exc:
+            last_err = exc
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    raise last_err
 
 
 N_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))

@@ -136,10 +136,16 @@ class Table:
         _atomic_write_text(os.path.join(self.path, _CURRENT), sid)
         return snap
 
-    def _partition_lineage(self, data_dir: str, cap: int = 64) -> tuple[int, dict]:
+    def _partition_lineage(self, data_dir: str, cap: int = 256) -> tuple[int, dict]:
         """(total_rows, per-partition lineage) for the snapshot manifest —
         the north-rule 'per-partition lineage + metrics'.  One metadata-ish
-        job per commit; per-file detail truncated to ``cap`` entries."""
+        job per commit.  Lineage is keyed by the partition-relative
+        directory (e.g. ``mapping_method=auto_drug``; ``""`` for an
+        unpartitioned table) rather than by file basename: partition values
+        are data-derived and deterministic, file names are not — which also
+        makes the lineage oracle-checkable (gate ``s8_lineage_partitions``)
+        and keeps the manifest O(partitions), not O(files), at scale.
+        Truncated to ``cap`` entries."""
         from pyspark.sql import functions as F
 
         rows = (
@@ -149,11 +155,21 @@ class Table:
             .collect()
         )
         total = sum(int(r["count"]) for r in rows)
-        lineage = {
-            os.path.basename(r["file"]): int(r["count"])
-            for r in sorted(rows, key=lambda r: r["file"])[:cap]
+        norm_dir = os.path.abspath(data_dir)
+        per_part: dict[str, int] = {}
+        for r in rows:
+            f = r["file"]
+            if f.startswith("file:"):
+                f = f[len("file:"):]
+            rel = os.path.relpath(os.path.dirname(os.path.abspath(f)), norm_dir)
+            key = "" if rel == "." else rel
+            per_part[key] = per_part.get(key, 0) + int(r["count"])
+        lineage = dict(sorted(per_part.items())[:cap])
+        return total, {
+            "n_files": len(rows),
+            "n_partitions": len(per_part),
+            "rows_per_partition": lineage,
         }
-        return total, {"n_files": len(rows), "rows_per_file": lineage}
 
     def append(
         self,

@@ -87,6 +87,14 @@ class Pipeline:
             return tbl.read()
         surface_forms = [e["mention_text"] for e in lexicon]
         occurrences = extract_mention_occurrences(transcripts, surface_forms)
+        # explicit range partitioning on conv_id (north rule): occurrence
+        # rows — much smaller than the turns they came from — land
+        # conv-contiguous on disk, so per-conversation reads (triple
+        # expansion back to turns, ordering checks, incremental reruns
+        # scoped to a conv range) prune to a partition range instead of
+        # scanning everything.  Skew-safe: range boundaries come from
+        # sampling, and no conversation outweighs a range at 10^12 turns.
+        occurrences = occurrences.repartitionByRange("conv_id", "turn_idx")
         occ_snap = occ_tbl.overwrite(occurrences)
         mentions = build_mention_table(self.spark, occ_tbl.read(), lexicon)
         snap = tbl.overwrite(mentions)

@@ -111,7 +111,18 @@ def test_snapshot_history_and_lineage(spark, tmp_path):
     # per-partition lineage recorded on every commit (north_rule)
     lineage = hist[1].metrics["lineage"]
     assert lineage["n_files"] >= 1
-    assert sum(lineage["rows_per_file"].values()) == 3
+    assert sum(lineage["rows_per_partition"].values()) == 3
+    assert list(lineage["rows_per_partition"]) == [""]  # unpartitioned root
+
+    # partitioned write: lineage keyed by partition value directory
+    tbl2 = wh.table("t2")
+    df2 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["id", "grp"]
+    )
+    tbl2.overwrite(df2, partition_by=["grp"])
+    lin2 = tbl2.history()[0].metrics["lineage"]
+    assert lin2["rows_per_partition"] == {"grp=a": 2, "grp=b": 1}
+    assert lin2["n_partitions"] == 2
 
 
 def test_crash_mid_write_leaves_previous_snapshot(spark, tmp_path):

@@ -159,3 +159,23 @@ def test_linker_single_pass_no_extra_shuffle(spark):
     n_exchanges = simple.count("Exchange")
     assert n_exchanges <= 3, simple
     assert simple.count("MapInPandas") == 1
+
+
+def test_occurrence_write_is_range_partitioned_on_conv(spark):
+    """North rule: explicit range partitioning on conv_id — the runner's
+    occurrence stage repartitions by (conv_id, turn_idx) range before the
+    write so occurrence rows land conv-contiguous."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.mentions import (
+        extract_mention_occurrences,
+    )
+
+    t = transcripts_dataframe(spark, n_conversations=5)
+    occ = extract_mention_occurrences(
+        t, [e["mention_text"] for e in build_lexicon()]
+    ).repartitionByRange("conv_id", "turn_idx")
+    simple = plan_str(occ, mode="simple")
+    assert "rangepartitioning(conv_id" in simple.lower(), simple
