@@ -459,6 +459,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return ann_topk(emb.where(F.col("vec_id") != 0), list(q), k=10)
 
+    def p4_metadata_filter_topk(spark, sf):
+        # P4: MatchAny metadata filter applied to the vector search
+        # (reference vector_store.py:141-156) — candidates restricted to
+        # labels {2,5,7} before the cosine top-k
+        emb = _t(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        filtered = emb.where(
+            (F.col("vec_id") != 0) & F.col("label").isin(2, 5, 7)
+        )
+        return ann_topk(filtered, list(q), k=10)
+
     def ann_knn_join(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qpdf = (
@@ -897,6 +908,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = [(k.split("=", 1)[1], int(v)) for k, v in sorted(lin.items())]
         return spark.createDataFrame(rows, "mapping_method string, n_rows long")
 
+    def st5_reset_rebuild(spark, sf):
+        # ST5: state reset (reference embeddings.py:150-165) — drop clears
+        # every snapshot; a rebuild reflects only the new write
+        import tempfile
+
+        from omop_concept_automapper_spark.catalog import Table
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+
+        p = write_gate_fixtures()
+        links = spark.read.parquet(p["links"])
+        tbl = Table(spark, tempfile.mkdtemp(prefix="ocas_gate_reset_"))
+        tbl.overwrite(links.where(F.col("mapping_method") == "auto_drug"))
+        tbl.drop()
+        tbl.overwrite(links.where(F.col("mapping_method") == "auto_standard"))
+        return tbl.read().select("mention_id", "mention_text", "mapping_method")
+
+    def st1_runner_resume_edges(spark, sf):
+        # ST1: the checkpointed stage runner, run TWICE on one warehouse
+        # (second run must skip every stage); final edges hash-checked
+        # against the sequential-oracle golden VALUES — the same bar as
+        # kg_pipeline_edges but through the production runner + catalog
+        import tempfile
+
+        from omop_concept_automapper_spark.catalog import Warehouse
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import (
+            build_lexicon,
+            vocab_dataframes,
+        )
+        from omop_concept_automapper_spark.plans.runner import (
+            Pipeline,
+            PipelineConfig,
+        )
+
+        wh_path = tempfile.mkdtemp(prefix="ocas_gate_runner_")
+        for _ in range(2):
+            wh = Warehouse(spark, wh_path)
+            out = Pipeline(spark, wh, PipelineConfig()).run(
+                transcripts_dataframe(spark, n_conversations=40),
+                *vocab_dataframes(spark),
+                build_lexicon(),
+            )
+        return out["edges"].select(
+            "mention_text",
+            "pred",
+            F.col("obj").cast("long").alias("obj"),
+            F.col("confidence").cast("long").alias("confidence"),
+        )
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue_topn": q3_segment_revenue_topn,
@@ -935,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_topk_vec0": ann_topk_vec0,
+        "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "ann_knn_join": ann_knn_join,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -961,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_audit_stats": j8_audit_stats,
         "o1_work_queue": o1_work_queue,
         "s8_lineage_partitions": s8_lineage_partitions,
+        "st5_reset_rebuild": st5_reset_rebuild,
+        "st1_runner_resume_edges": st1_runner_resume_edges,
     }
 
 
@@ -1352,6 +1419,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
             FROM embeddings, q WHERE vec_id != 0
             ORDER BY cosine_bp DESC, vec_id ASC LIMIT 10""",
+        "p4_metadata_filter_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   CAST(ROUND(list_cosine_similarity(embedding::DOUBLE[], qv::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+            FROM embeddings, q WHERE vec_id != 0 AND label IN (2, 5, 7)
+            ORDER BY cosine_bp DESC, vec_id ASC LIMIT 10""",
         "ann_knn_join": """
             SELECT query_id, vec_id, rank, cosine_bp FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
@@ -1547,6 +1620,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT mapping_method, COUNT(*) AS n_rows
             FROM read_parquet('{fx["links"]}')
             GROUP BY mapping_method""",
+        "st5_reset_rebuild": f"""
+            SELECT mention_id, mention_text, mapping_method
+            FROM read_parquet('{fx["links"]}')
+            WHERE mapping_method = 'auto_standard'""",
+        "st1_runner_resume_edges": _kg_golden_edges_sql(n_conversations=40),
         "cc_components": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src,

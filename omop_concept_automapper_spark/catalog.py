@@ -40,6 +40,9 @@ _DATA = "data"
 
 
 def _atomic_write_text(path: str, text: str) -> None:
+    # a dropped table may be rebuilt through the same handle (ST5 reset):
+    # recreate the manifest dir rather than requiring a fresh Table object
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         f.write(text)

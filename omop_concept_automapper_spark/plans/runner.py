@@ -110,6 +110,17 @@ class Pipeline:
         tbl = self.wh.table("links")
         if self.wh.stage_complete("links"):
             return tbl.read()
+        # row-level resume (the reference's J1 unmapped work-queue applied
+        # to linking, mapping.py:9-48): if a previous run committed a links
+        # snapshot but crashed before marking the stage complete, only the
+        # still-unlinked mentions are re-scored — O(remaining), not O(all).
+        # Snapshot commits are atomic, so `already` is never a torn write.
+        already = tbl.read() if tbl.exists() else None
+        todo = mentions
+        if already is not None:
+            todo = mentions.join(
+                already.select("mention_id"), "mention_id", "left_anti"
+            )
         # file-backed index: executors write block-aligned vector shards and
         # link tasks load them from storage — the driver never materializes
         # the embedding matrix (peak driver memory O(concept_id list), not
@@ -123,11 +134,13 @@ class Pipeline:
             n_shards=int(self.cfg.extra.get("n_index_shards", 4)),
         )
         results = link_mentions_file_index(
-            self.spark, mentions, index_path,
+            self.spark, todo, index_path,
             k_standard=self.cfg.k_standard, k_drug=self.cfg.k_drug,
             target_domains=self.cfg.target_domains,
         )
-        snap = tbl.overwrite(results)
+        snap = (
+            tbl.append(results) if already is not None else tbl.overwrite(results)
+        )
         quarantined = tbl.read().where(F.col("error").isNotNull())
         q_snap = self.wh.table("quarantine").overwrite(quarantined)
         self.wh.mark_stage_complete(

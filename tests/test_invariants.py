@@ -79,6 +79,46 @@ def test_resume_skips_completed_stages_and_is_idempotent(spark, tmp_path):
     assert snap_before is not None
 
 
+def test_links_stage_resumes_row_level(spark, tmp_path):
+    """J1 work-queue resume inside the links stage: a committed-but-
+    unmarked links snapshot is extended (anti-join on mention_id), never
+    recomputed, and the final output equals a from-scratch run."""
+    wh_path = str(tmp_path / "wh")
+    wh, out = _run(spark, wh_path)
+    first = _edge_set(out["edges"])
+    links_tbl = wh.table("links")
+    full_links = links_tbl.read()
+    n_full = full_links.count()
+
+    # simulate a crash AFTER a partial links commit but BEFORE the stage
+    # marker: keep only half the linked mentions, drop the marker and all
+    # downstream state
+    keep = full_links.orderBy("mention_id").limit(n_full // 2)
+    kept_ids = {r["mention_id"] for r in keep.select("mention_id").collect()}
+    links_tbl.overwrite(keep.localCheckpoint(eager=True))
+    wh.reset_stage("links")
+    wh.reset_stage("graph")
+    wh.table("edges").drop()
+    wh.table("nodes").drop()
+
+    wh2, out2 = _run(spark, wh_path)
+    assert _edge_set(out2["edges"]) == first
+    relinked = wh2.table("links").read()
+    assert relinked.count() == n_full
+    # the kept half must have survived untouched (appended-to, not rebuilt):
+    # every kept mention_id appears exactly once
+    from collections import Counter
+
+    counts = Counter(
+        r["mention_id"] for r in relinked.select("mention_id").collect()
+    )
+    assert all(c == 1 for c in counts.values())
+    assert kept_ids <= set(counts)
+    # and the resumed commit history shows an append, not an overwrite
+    ops = [s.operation for s in wh2.table("links").history()]
+    assert ops[-1] == "append"
+
+
 def test_remap_last_write_wins(spark, tmp_path):
     """ST2: re-mapping a subject replaces its previous edges
     (reference mapping.py:112-132 delete+insert)."""
