@@ -132,16 +132,17 @@ def run_kg_bench(
             lambda m: link_mentions_file_index(spark, m, idx_path), "_fileidx"
         )
 
-    # repeat and keep the fastest: this host is a noisy VM (3x swings
-    # observed); the minimum approximates steady-state throughput
+    # One untimed full pass first (parquet page cache + JIT + codegen), then
+    # INTERLEAVED timed passes (bc, fi, bc, fi, ...), keeping each variant's
+    # minimum: running all passes of one variant before the other hands the
+    # later variant a hotter JVM (measured ~20% at 8 cores), and this host
+    # is a noisy VM (3x swings) — the minimum approximates steady state.
+    extract_link()
     repeats = int(os.environ.get("SPARK_GRAFT_KG_REPEATS", "2"))
-    t_link, _ = timed(extract_link)
-    for _ in range(max(0, repeats - 1)):
+    t_link = t_link_file = float("inf")
+    for _ in range(repeats):
         t2, _ = timed(extract_link)
         t_link = min(t_link, t2)
-
-    t_link_file, _ = timed(extract_link_fileidx)
-    for _ in range(max(0, repeats - 1)):
         t2, _ = timed(extract_link_fileidx)
         t_link_file = min(t_link_file, t2)
 
