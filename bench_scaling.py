@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import tempfile
@@ -42,27 +43,42 @@ def run_at(cores: int, transcripts: str, n_conv: int, attempts: int = 2) -> dict
     for _ in range(attempts):
         out_dir = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_")
         try:
-            proc = subprocess.run(
+            # start_new_session so a timeout can kill the WHOLE process group:
+            # killing only the python child leaves the Spark JVM grandchild
+            # alive and chewing CPU, contaminating the retried measurement on
+            # this single-host benchmark
+            proc = subprocess.Popen(
                 [sys.executable, "-c", _RUNNER, transcripts, out_dir, str(cores), str(n_conv)],
-                capture_output=True,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 text=True,
-                timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "1500")),
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 # inner min-of-2 per subprocess + outer median-of-REPEATS:
                 # this VM shows reproducible multi-second stalls in single
                 # passes (measured: dropping the inner min cost the
                 # broadcast path 0.12 efficiency), so keep both noise guards
                 env={**os.environ, "SPARK_GRAFT_KG_REPEATS": "2"},
+                start_new_session=True,
             )
-            for line in proc.stdout.splitlines():
+            try:
+                stdout, stderr = proc.communicate(
+                    timeout=int(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "1500"))
+                )
+            except subprocess.TimeoutExpired as exc:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                proc.wait()
+                last_err = exc
+                continue
+            for line in stdout.splitlines():
                 if line.startswith("RESULT_JSON:"):
                     return json.loads(line[len("RESULT_JSON:"):])
             last_err = RuntimeError(
                 f"no result from cores={cores}: "
-                f"{proc.stdout[-2000:]} {proc.stderr[-2000:]}"
+                f"{stdout[-2000:]} {stderr[-2000:]}"
             )
-        except subprocess.TimeoutExpired as exc:
-            last_err = exc
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     raise last_err

@@ -83,6 +83,20 @@ def run_kg_bench(
     vocab_df = build_vocab_embeddings(*vocab_dataframes(spark, seed)).select(
         "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
     )
+    # the driver-broadcast variant exists only for round-over-round
+    # comparability; it collects the vocab to driver pandas, which would OOM
+    # first if someone pointed this bench at full OMOP (~4M x 1024) — refuse
+    # loudly above a row bound instead of dying in toPandas. The production
+    # path (file-backed index below) never does this, pinned by
+    # tests/test_operators.py::test_stage_links_never_collects_vocab_to_driver.
+    max_rows = int(os.environ.get("SPARK_GRAFT_BENCH_VOCAB_MAX_ROWS", "2000000"))
+    n_vocab = vocab_df.count()
+    if n_vocab > max_rows:
+        raise ValueError(
+            f"vocab has {n_vocab} rows > {max_rows}: the driver-broadcast "
+            "bench variant would collect it to driver pandas; use the "
+            "file-backed index path or raise SPARK_GRAFT_BENCH_VOCAB_MAX_ROWS"
+        )
     t_vocab, vocab_pdf = timed(vocab_df.toPandas)
     # production-path index: file-backed shards, loaded executor-side
     idx_path = os.path.join(out_dir, "vocab_index")
@@ -148,9 +162,13 @@ def run_kg_bench(
 
     def finalize():
         # O(distinct mentions) tail: confidence gate -> edges write ->
-        # nodes write — reads the materialized links stage, no rescan
+        # nodes write — reads the materialized links stage, no rescan.
+        # Reads links_fileidx because turns_per_sec_e2e is documented as
+        # production-path (file-backed index) + finalize; both variants'
+        # outputs are row-identical, but the code should match the claim.
         accepted = accepted_mappings(
-            spark.read.parquet(os.path.join(out_dir, "links")), threshold=8
+            spark.read.parquet(os.path.join(out_dir, "links_fileidx")),
+            threshold=8,
         )
         edges = build_edges(accepted, None)
         edges.write.mode("overwrite").parquet(os.path.join(out_dir, "edges"))

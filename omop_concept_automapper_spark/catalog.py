@@ -148,7 +148,11 @@ class Table:
         are data-derived and deterministic, file names are not — which also
         makes the lineage oracle-checkable (gate ``s8_lineage_partitions``)
         and keeps the manifest O(partitions), not O(files), at scale.
-        Truncated to ``cap`` entries."""
+        Truncated to ``cap`` entries, with an explicit ``truncated`` flag so
+        readers can tell ``sum(rows_per_partition) != rows_written`` apart
+        from corruption."""
+        from urllib.parse import unquote
+
         from pyspark.sql import functions as F
 
         rows = (
@@ -165,13 +169,16 @@ class Table:
             if f.startswith("file:"):
                 f = f[len("file:"):]
             rel = os.path.relpath(os.path.dirname(os.path.abspath(f)), norm_dir)
-            key = "" if rel == "." else rel
+            # input_file_name returns URI-percent-encoded paths; unquote so
+            # the lineage key is the partition VALUE ('k=a b', not 'k=a%20b')
+            key = "" if rel == "." else unquote(rel)
             per_part[key] = per_part.get(key, 0) + int(r["count"])
         lineage = dict(sorted(per_part.items())[:cap])
         return total, {
             "n_files": len(rows),
             "n_partitions": len(per_part),
             "rows_per_partition": lineage,
+            "truncated": len(per_part) > cap,
         }
 
     def append(

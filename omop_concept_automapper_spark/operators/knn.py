@@ -29,8 +29,10 @@ order-stable, SURVEY.md hard part (f)).
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -372,6 +374,9 @@ def build_vocab_index_files(
         "block_rows": block_rows,
         "offsets": [o for o in offsets if o < n] or [0],
         "n_shards": eff_shards,
+        # unique per build: makes the loader's content-hash cache key change
+        # on every rebuild (the data may differ even when n/offsets don't)
+        "build_id": uuid.uuid4().hex,
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, sort_keys=True)
@@ -392,12 +397,16 @@ def load_vocab_index_files(path: str) -> dict:
     index dict (metadata arrays + block-aligned matrix shards) from the
     files written by ``build_vocab_index_files``."""
     manifest_path = os.path.join(path, "manifest.json")
-    cache_key = f"{path}@{os.stat(manifest_path).st_mtime_ns}"
+    # key on the manifest CONTENT (carries a per-build build_id), not mtime:
+    # object stores don't guarantee useful mtimes, and a same-content rewrite
+    # must NOT invalidate the cache while a rebuild (new build_id) must
+    with open(manifest_path, "rb") as f:
+        manifest_bytes = f.read()
+    cache_key = f"{path}@{hashlib.blake2b(manifest_bytes, digest_size=16).hexdigest()}"
     cached = _FILE_INDEX_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    with open(manifest_path) as f:
-        manifest = json.load(f)
+    manifest = json.loads(manifest_bytes)
     meta = _read_parquet_dir(os.path.join(path, "meta"))
     meta = meta.sort_values("concept_id").reset_index(drop=True)
 

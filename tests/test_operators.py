@@ -282,6 +282,48 @@ def test_file_index_exact_equality(spark, tmp_path):
     assert got == base
 
 
+def test_file_index_cache_keys_on_content_not_mtime(spark, tmp_path):
+    """Object-store safety: the per-process index cache must key on manifest
+    CONTENT — rewriting the manifest with identical bytes (new mtime) must
+    NOT reload; a rebuild (new build_id in the manifest) must."""
+    import json
+    import os
+
+    from omop_concept_automapper_spark.fixtures.vocabulary import (
+        vocab_dataframes,
+    )
+    from omop_concept_automapper_spark.operators.knn import (
+        build_vocab_index_files,
+        load_vocab_index_files,
+    )
+    from omop_concept_automapper_spark.plans.vocab_prep import (
+        build_vocab_embeddings,
+    )
+
+    vocab = build_vocab_embeddings(*vocab_dataframes(spark)).select(
+        "concept_id", "concept_name", "domain_id", "atc7_codes", "vector"
+    )
+    idx_path = str(tmp_path / "vocab_index")
+    build_vocab_index_files(vocab, idx_path, n_shards=2, block_rows=32)
+    manifest_path = os.path.join(idx_path, "manifest.json")
+
+    idx1 = load_vocab_index_files(idx_path)
+    # same-content rewrite: mtime changes, content doesn't -> cache hit
+    with open(manifest_path) as f:
+        content = f.read()
+    os.utime(manifest_path, None)
+    with open(manifest_path, "w") as f:
+        f.write(content)
+    assert load_vocab_index_files(idx_path) is idx1
+
+    # content change (what a rebuild's fresh build_id does) -> reload
+    m = json.loads(content)
+    m["build_id"] = "0" * 32
+    with open(manifest_path, "w") as f:
+        f.write(json.dumps(m, sort_keys=True))
+    assert load_vocab_index_files(idx_path) is not idx1
+
+
 def test_stage_links_never_collects_vocab_to_driver(spark, tmp_path, monkeypatch):
     """Scale pin: the links stage must not materialize the vocab embedding
     table in driver pandas (at full OMOP that is ~16 GB). toPandas is
