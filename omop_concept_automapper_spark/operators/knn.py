@@ -215,11 +215,25 @@ def link_batch(
     k_drug: int = 30,
     target_domains: list[str] | None = None,
     block_rows: int = 65536,
+    embed_fn=None,
+    rerank_fn=None,
+    retry_policy=None,
 ) -> pd.DataFrame:
     """Retrieve + rerank one Arrow batch of mentions.
 
     Expects columns: mention_id, mention_text, is_drug, atc7 ('' if none).
+
+    ``embed_fn``/``rerank_fn`` are the model-endpoint seam (X7, reference
+    emb_model.py:47-61): inject real API-backed callables with a
+    ``RetryPolicy`` (functions/endpoint.py) and transient failures retry
+    in-UDF; failures that survive every retry land the affected rows in
+    quarantine (the existing per-row path below), never failing the job.
+    Defaults are the deterministic stand-ins, called with no retry.
     """
+    from omop_concept_automapper_spark.functions.endpoint import (
+        call_with_retry,
+    )
+
     shards = _shards_of(index)
     concept_ids = index["concept_id"]
     names = index["concept_name"]
@@ -227,7 +241,21 @@ def link_batch(
     if len(pdf) == 0:
         return pd.DataFrame(columns=_LINK_COLUMNS)
 
-    q = embed_texts(pdf["mention_text"].tolist())
+    texts = pdf["mention_text"].tolist()
+    embed = embed_fn if embed_fn is not None else embed_texts
+    embed_errors: dict[int, str] = {}
+    try:
+        q = call_with_retry(embed, retry_policy, texts)
+    except Exception:
+        # batch-level embed failed even after retries: degrade to per-row
+        # embedding so only the rows that truly can't embed are quarantined
+        dim = shards[0][1].shape[1]
+        q = np.zeros((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            try:
+                q[i] = call_with_retry(embed, retry_policy, [t])[0]
+            except Exception as exc:  # noqa: BLE001
+                embed_errors[i] = f"{type(exc).__name__}: {exc}"
     base_mask = None
     if target_domains:
         base_mask = np.isin(index["domain_id"], np.asarray(target_domains, object))
@@ -244,6 +272,15 @@ def link_batch(
         is_drug = bool(is_drug)
         k = k_drug if is_drug else k_standard
         method = "auto_drug" if is_drug else "auto_standard"
+        if row_i in embed_errors:
+            out_rows.append(
+                (
+                    int(mention_id), str(text), is_drug, str(atc7 or ""),
+                    None, None, None, 0, int(k), 0, method, None,
+                    embed_errors[row_i],
+                )
+            )
+            continue
         try:
             if is_drug and atc7:
                 # MatchAny over the atc7_codes ARRAY payload = any-overlap:
@@ -275,7 +312,12 @@ def link_batch(
                     )
                 }
             cand_names = [str(names[j]) for j in top]
-            rr = rerank_scores(str(text), cand_names)
+            # default resolves the module global at call time (test seam);
+            # an injected rerank_fn goes through the retry policy
+            if rerank_fn is not None:
+                rr = call_with_retry(rerank_fn, retry_policy, str(text), cand_names)
+            else:
+                rr = rerank_scores(str(text), cand_names)
             sel = max(range(len(rr)), key=lambda i: (rr[i], -i))
             confidence = confidence_from_score(rr[sel])
             chosen = top[sel]
@@ -453,12 +495,17 @@ def link_mentions_file_index(
     k_drug: int = 30,
     target_domains: list[str] | None = None,
     block_rows: int = 65536,
+    embed_fn=None,
+    rerank_fn=None,
+    retry_policy=None,
 ) -> DataFrame:
     """Distributed retrieve+rerank against a file-backed vocab index.
 
     No broadcast, no driver-resident matrix: each executor process loads
     the shard files once (cache above) from shared storage — the shape a
     16 GB full-OMOP index needs on a 1000-executor cluster.
+    ``embed_fn``/``rerank_fn``/``retry_policy`` = the model-endpoint seam
+    (see ``link_batch``); callables must be picklable.
     """
     domains = list(target_domains) if target_domains else None
 
@@ -468,6 +515,8 @@ def link_mentions_file_index(
             yield link_batch(
                 pdf, idx, k_standard=k_standard, k_drug=k_drug,
                 target_domains=domains, block_rows=block_rows,
+                embed_fn=embed_fn, rerank_fn=rerank_fn,
+                retry_policy=retry_policy,
             )
 
     cols = ["mention_id", "mention_text", "is_drug", "atc7"]
@@ -483,6 +532,9 @@ def link_mentions(
     target_domains: list[str] | None = None,
     n_shards: int = 1,
     block_rows: int = 65536,
+    embed_fn=None,
+    rerank_fn=None,
+    retry_policy=None,
 ) -> DataFrame:
     """Distributed retrieve+rerank: one ``mapInPandas`` pass over mentions.
 
@@ -527,6 +579,8 @@ def link_mentions(
             yield link_batch(
                 pdf, idx, k_standard=k_standard, k_drug=k_drug,
                 target_domains=domains, block_rows=block_rows,
+                embed_fn=embed_fn, rerank_fn=rerank_fn,
+                retry_policy=retry_policy,
             )
 
     cols = ["mention_id", "mention_text", "is_drug", "atc7"]
