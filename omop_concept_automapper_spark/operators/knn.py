@@ -47,16 +47,17 @@ from omop_concept_automapper_spark.functions.reranker import (
 )
 
 LINK_RESULT_SCHEMA = (
-    "mention_id long, mention_text string, is_drug boolean, atc7 string, "
+    "mention_id long, mention_id2 long, mention_text string, "
+    "is_drug boolean, atc7 string, "
     "concept_id int, concept_name string, score float, confidence int, "
     "k_used int, n_candidates int, mapping_method string, "
     "candidate_ids array<int>, error string"
 )
 
 _LINK_COLUMNS = [
-    "mention_id", "mention_text", "is_drug", "atc7", "concept_id",
-    "concept_name", "score", "confidence", "k_used", "n_candidates",
-    "mapping_method", "candidate_ids", "error",
+    "mention_id", "mention_id2", "mention_text", "is_drug", "atc7",
+    "concept_id", "concept_name", "score", "confidence", "k_used",
+    "n_candidates", "mapping_method", "candidate_ids", "error",
 ]
 
 
@@ -241,6 +242,13 @@ def link_batch(
     if len(pdf) == 0:
         return pd.DataFrame(columns=_LINK_COLUMNS)
 
+    # second 128-bit id half is a pure pass-through; pandas-level callers
+    # that don't carry it (unit tests, ad-hoc batches) default to 0
+    mid2 = (
+        pdf["mention_id2"]
+        if "mention_id2" in pdf.columns
+        else pd.Series([0] * len(pdf), index=pdf.index)
+    )
     texts = pdf["mention_text"].tolist()
     embed = embed_fn if embed_fn is not None else embed_texts
     embed_errors: dict[int, str] = {}
@@ -266,8 +274,8 @@ def link_batch(
         np.float32(-np.inf).reshape(1, 1), np.zeros(1, np.int64)
     )[0, 0]
 
-    for row_i, (mention_id, text, is_drug, atc7) in enumerate(
-        zip(pdf["mention_id"], pdf["mention_text"], pdf["is_drug"], pdf["atc7"])
+    for row_i, (mention_id, mention_id2, text, is_drug, atc7) in enumerate(
+        zip(pdf["mention_id"], mid2, pdf["mention_text"], pdf["is_drug"], pdf["atc7"])
     ):
         is_drug = bool(is_drug)
         k = k_drug if is_drug else k_standard
@@ -275,7 +283,8 @@ def link_batch(
         if row_i in embed_errors:
             out_rows.append(
                 (
-                    int(mention_id), str(text), is_drug, str(atc7 or ""),
+                    int(mention_id), int(mention_id2), str(text), is_drug,
+                    str(atc7 or ""),
                     None, None, None, 0, int(k), 0, method, None,
                     embed_errors[row_i],
                 )
@@ -323,7 +332,8 @@ def link_batch(
             chosen = top[sel]
             out_rows.append(
                 (
-                    int(mention_id), str(text), is_drug, str(atc7 or ""),
+                    int(mention_id), int(mention_id2), str(text), is_drug,
+                    str(atc7 or ""),
                     int(concept_ids[chosen]), str(names[chosen]),
                     row_scores_of[int(chosen)], int(confidence), int(k),
                     int(top.size), method,
@@ -333,7 +343,8 @@ def link_batch(
         except Exception as exc:  # per-row quarantine (auto_mapper.py:207-211)
             out_rows.append(
                 (
-                    int(mention_id), str(text), is_drug, str(atc7 or ""),
+                    int(mention_id), int(mention_id2), str(text), is_drug,
+                    str(atc7 or ""),
                     None, None, None, 0, int(k), 0, method, None,
                     f"{type(exc).__name__}: {exc}",
                 )
@@ -487,6 +498,16 @@ def load_vocab_index_files(path: str) -> dict:
     return index
 
 
+def _select_link_input(mentions: DataFrame) -> DataFrame:
+    """Project the linker's input columns; callers without the second
+    128-bit id half (ad-hoc batches) get a 0 placeholder."""
+    if "mention_id2" not in mentions.columns:
+        mentions = mentions.withColumn("mention_id2", F.lit(0).cast("long"))
+    return mentions.select(
+        "mention_id", "mention_id2", "mention_text", "is_drug", "atc7"
+    )
+
+
 def link_mentions_file_index(
     spark: SparkSession,
     mentions: DataFrame,
@@ -519,8 +540,7 @@ def link_mentions_file_index(
                 retry_policy=retry_policy,
             )
 
-    cols = ["mention_id", "mention_text", "is_drug", "atc7"]
-    return mentions.select(*cols).mapInPandas(run, schema=LINK_RESULT_SCHEMA)
+    return _select_link_input(mentions).mapInPandas(run, schema=LINK_RESULT_SCHEMA)
 
 
 def link_mentions(
@@ -583,5 +603,4 @@ def link_mentions(
                 retry_policy=retry_policy,
             )
 
-    cols = ["mention_id", "mention_text", "is_drug", "atc7"]
-    return mentions.select(*cols).mapInPandas(run, schema=LINK_RESULT_SCHEMA)
+    return _select_link_input(mentions).mapInPandas(run, schema=LINK_RESULT_SCHEMA)

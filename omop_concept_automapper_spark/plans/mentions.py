@@ -7,8 +7,14 @@ Design decisions for scale:
 * detection is map-only — it pipelines with the scan, no shuffle;
 * the groupBy is SALTED (hot mentions like a ubiquitous diagnosis name are
   real skew, north_rule) via operators/salted_agg;
-* ``mention_id = xxhash64(mention_text)`` — resume-stable and cluster-size
-  independent (monotonically_increasing_id is neither, SURVEY.md §1.2);
+* ``(mention_id, mention_id2) = (xxhash64(text), xxhash64(1, text))`` — a
+  128-bit two-column key: resume-stable and cluster-size independent
+  (monotonically_increasing_id is neither, SURVEY.md §1.2), and wide enough
+  that id collisions can't silently merge distinct mentions — a single
+  64-bit hash has ~2.7% birthday-collision probability at 10^9 distinct
+  mentions, and a collision would fuse two entities' links undetectably.
+  Everywhere mentions are joined/merged (links resume anti-join, edge subj,
+  CC node encoding) uses BOTH columns (tests/test_invariants.py pins it);
 * occurrences keep (conv_id, turn_idx) so triples can be expanded back to
   turn provenance; transcripts are expected range/bucket-partitioned by
   conv_id so this stage preserves input partitioning until the groupBy.
@@ -91,6 +97,8 @@ def build_mention_table(
         mentions.join(F.broadcast(meta), "mention_text", "left")
         .select(
             F.xxhash64("mention_text").alias("mention_id"),
+            # second 128-bit half: same hash, seed varied via a literal column
+            F.xxhash64(F.lit(1), F.col("mention_text")).alias("mention_id2"),
             "mention_text",
             F.coalesce("is_drug", F.lit(False)).alias("is_drug"),
             atc7_extract(F.col("mention_text")).alias("atc7"),

@@ -35,8 +35,10 @@ def mapped_review(
 ) -> DataFrame:
     """Review/export join (reference mapping.py:51-80, J2): mention-entity
     edges joined back to mention metadata and the broadcast concept dim."""
+    from omop_concept_automapper_spark.plans.graph import _subj_col
+
     m = mentions.select(
-        F.concat(F.lit("m:"), F.col("mention_id").cast("string")).alias("subj"),
+        _subj_col().alias("subj"),
         "mention_text",
         "freq",
     )

@@ -104,6 +104,42 @@ class Pipeline:
         )
         return tbl.read()
 
+    def link_config_fingerprint(self, vocab_embeddings: DataFrame) -> str:
+        """Identity of a links run: linking config + vocab content hash.
+
+        Recorded in every links snapshot's metrics so a resume can tell
+        "same run, finish the remainder" apart from "config or vocabulary
+        changed, stale rows must be recomputed" — without it,
+        reset_stage('links') alone silently kept stale links (every mention
+        anti-joined away).  The vocab hash is one small dimension-table
+        aggregate (count + xxhash64 sum); vectors are derived
+        deterministically from names so hashing the metadata suffices."""
+        import json
+
+        row = vocab_embeddings.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.xxhash64("concept_id", "concept_name", "domain_id").cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return json.dumps(
+            {
+                "k_standard": self.cfg.k_standard,
+                "k_drug": self.cfg.k_drug,
+                "target_domains": sorted(self.cfg.target_domains)
+                if self.cfg.target_domains
+                else None,
+                "vocab_n": int(row["n"]),
+                "vocab_h": str(row["h"]),
+            },
+            sort_keys=True,
+        )
+
     def stage_links(
         self, mentions: DataFrame, vocab_embeddings: DataFrame
     ) -> DataFrame:
@@ -113,14 +149,27 @@ class Pipeline:
         # row-level resume (the reference's J1 unmapped work-queue applied
         # to linking, mapping.py:9-48): if a previous run committed a links
         # snapshot but crashed before marking the stage complete, only the
-        # still-unlinked mentions are re-scored — O(remaining), not O(all).
-        # Snapshot commits are atomic, so `already` is never a torn write.
+        # still-unlinked mentions are re-scored — compute is O(remaining),
+        # not O(all).  Snapshot commits are atomic, so `already` is never a
+        # torn write.  Resume applies only when the recorded config/vocab
+        # fingerprint matches; otherwise the snapshot is stale and the
+        # stage recomputes from scratch.
+        fp = self.link_config_fingerprint(vocab_embeddings)
         already = tbl.read() if tbl.exists() else None
+        if already is not None:
+            prev_fp = (tbl.snapshot().metrics or {}).get("link_config")
+            if prev_fp != fp:
+                already = None
         todo = mentions
         if already is not None:
-            todo = mentions.join(
-                already.select("mention_id"), "mention_id", "left_anti"
+            # quarantined rows (error IS NOT NULL) are excluded from the
+            # done-set so transient failures are re-scored on resume instead
+            # of being stuck in quarantine forever; the 128-bit two-column
+            # key keeps colliding mention_ids from masking each other
+            done = already.where(F.col("error").isNull()).select(
+                "mention_id", "mention_id2"
             )
+            todo = mentions.join(done, ["mention_id", "mention_id2"], "left_anti")
         # file-backed index: executors write block-aligned vector shards and
         # link tasks load them from storage — the driver never materializes
         # the embedding matrix (peak driver memory O(concept_id list), not
@@ -138,9 +187,17 @@ class Pipeline:
             k_standard=self.cfg.k_standard, k_drug=self.cfg.k_drug,
             target_domains=self.cfg.target_domains,
         )
-        snap = (
-            tbl.append(results) if already is not None else tbl.overwrite(results)
-        )
+        if already is None:
+            snap = tbl.overwrite(results, metrics={"link_config": fp})
+        elif already.where(F.col("error").isNotNull()).isEmpty():
+            # clean partial commit: pure extension, O(remaining) write
+            snap = tbl.append(results, metrics={"link_config": fp})
+        else:
+            # prior snapshot holds quarantined rows that `results` re-scored:
+            # replace them (last-write-wins) — compute stayed O(remaining),
+            # only the write is O(links table) on this rare path
+            merged = already.where(F.col("error").isNull()).unionByName(results)
+            snap = tbl.overwrite(merged, metrics={"link_config": fp})
         quarantined = tbl.read().where(F.col("error").isNotNull())
         q_snap = self.wh.table("quarantine").overwrite(quarantined)
         self.wh.mark_stage_complete(

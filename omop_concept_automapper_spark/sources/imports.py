@@ -28,8 +28,10 @@ def read_source_concepts_csv(
 
     * required columns validated (imports.py:15-26);
     * ``freq`` NaN -> 1, cast int (imports.py:18-19);
-    * deterministic ``source_id`` = xxhash64(source_value, name, vocab) —
-      resume-stable, unlike SERIAL.
+    * deterministic ``(source_id, source_id2)`` two-column 128-bit key =
+      xxhash64(value, name, vocab) / xxhash64(1, value, name, vocab) —
+      resume-stable, unlike SERIAL, and collision-safe at 10^9+ distinct
+      sources (a lone 64-bit hash silently merges rows at that scale).
     """
     df = spark.read.csv(path, header=True, inferSchema=False)
     missing = [c for c in REQUIRED_SOURCE_COLUMNS if c not in df.columns]
@@ -41,6 +43,12 @@ def read_source_concepts_csv(
             F.col("source_concept_name"),
             F.lit(source_vocabulary_id),
         ).alias("source_id"),
+        F.xxhash64(
+            F.lit(1),
+            F.col("source_value"),
+            F.col("source_concept_name"),
+            F.lit(source_vocabulary_id),
+        ).alias("source_id2"),
         "source_value",
         "source_concept_name",
         F.lit(source_vocabulary_id).alias("source_vocabulary_id"),
@@ -59,21 +67,26 @@ def parse_premapped_concept_ids(
 
     Mirrors imports.py:42-49 (split + per-token trim, digit check) and
     imports.py:83-97 (keep only ids that exist in ``concept`` — a semi-join).
+    Carries both halves of the 128-bit source key so downstream joins never
+    key on the collision-prone single hash.
     """
     exploded = (
         source_concepts.where(F.col("concept_id").isNotNull())
         .select(
             "source_id",
+            "source_id2",
             F.explode(
                 F.transform(F.split("concept_id", ";"), lambda x: F.trim(x))
             ).alias("cid"),
         )
         .where(F.col("cid").rlike("^[0-9]+$"))
-        .select("source_id", F.col("cid").cast("int").alias("concept_id"))
+        .select(
+            "source_id", "source_id2", F.col("cid").cast("int").alias("concept_id")
+        )
     )
     return exploded.join(
         concept.select("concept_id"), "concept_id", "left_semi"
-    ).select("source_id", "concept_id").distinct()
+    ).select("source_id", "source_id2", "concept_id").distinct()
 
 
 def bulk_load_vocab_csv(

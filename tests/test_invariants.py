@@ -95,7 +95,13 @@ def test_links_stage_resumes_row_level(spark, tmp_path):
     # downstream state
     keep = full_links.orderBy("mention_id").limit(n_full // 2)
     kept_ids = {r["mention_id"] for r in keep.select("mention_id").collect()}
-    links_tbl.overwrite(keep.localCheckpoint(eager=True))
+    # a real partial commit from stage_links records the run's config
+    # fingerprint; resume only extends snapshots whose fingerprint matches
+    fp = links_tbl.snapshot().metrics.get("link_config")
+    assert fp is not None
+    links_tbl.overwrite(
+        keep.localCheckpoint(eager=True), metrics={"link_config": fp}
+    )
     wh.reset_stage("links")
     wh.reset_stage("graph")
     wh.table("edges").drop()
@@ -117,6 +123,165 @@ def test_links_stage_resumes_row_level(spark, tmp_path):
     # and the resumed commit history shows an append, not an overwrite
     ops = [s.operation for s in wh2.table("links").history()]
     assert ops[-1] == "append"
+
+
+def test_mention_ids_are_128_bit_everywhere(spark, tmp_path):
+    """Pin the id-width decision (round-2 verdict): a single xxhash64 has
+    ~2.7% birthday-collision probability at 10^9 distinct mentions, and a
+    collision silently merges two entities.  The two-column key must flow
+    through mentions -> links -> edge subj -> node ids."""
+    from omop_concept_automapper_spark.plans.mentions import (
+        build_mention_table,
+        extract_mention_occurrences,
+    )
+
+    lexicon = build_lexicon()
+    t = transcripts_dataframe(spark, n_conversations=10)
+    occ = extract_mention_occurrences(t, [e["mention_text"] for e in lexicon])
+    mentions = build_mention_table(spark, occ, lexicon)
+    assert {"mention_id", "mention_id2"} <= set(mentions.columns)
+    rows = mentions.select("mention_id", "mention_id2", "mention_text").collect()
+    # the two halves are independent hashes of the text (seed-varied), and
+    # the pair is unique per distinct text on the fixture
+    assert len({(r["mention_id"], r["mention_id2"]) for r in rows}) == len(rows)
+    assert any(r["mention_id"] != r["mention_id2"] for r in rows)
+
+    wh_path = str(tmp_path / "wh")
+    wh, out = _run(spark, wh_path, n_conv=10)
+    assert {"mention_id", "mention_id2"} <= set(out["links"].columns)
+    # subj embeds BOTH halves: m:<id>:<id2>
+    subj = out["edges"].select("subj").first()["subj"]
+    tag, h1, h2 = subj.split(":")
+    assert tag == "m" and int(h1) != 0 and int(h2) != 0
+
+
+def test_colliding_mention_id_halves_stay_distinct(spark):
+    """Two different mentions sharing the same 64-bit mention_id (a forced
+    collision) must yield distinct edge subjects and distinct,
+    un-fused canonical nodes."""
+    from omop_concept_automapper_spark.plans.graph import (
+        build_edges,
+        build_nodes,
+    )
+
+    # same mention_id, different mention_id2 / text, mapped to DIFFERENT
+    # concepts: a 64-bit encoding would fuse them into one subject
+    links = spark.createDataFrame(
+        [
+            (7, 100, "term alpha", False, "", 1001, "a", 0.9, 10, 15, 2,
+             "auto_standard", [1001], None),
+            (7, 200, "term beta", False, "", 1002, "b", 0.9, 10, 15, 2,
+             "auto_standard", [1002], None),
+        ],
+        "mention_id long, mention_id2 long, mention_text string, "
+        "is_drug boolean, atc7 string, concept_id int, concept_name string, "
+        "score double, confidence int, k_used int, n_candidates int, "
+        "mapping_method string, candidate_ids array<int>, error string",
+    )
+    edges = build_edges(links, None)
+    subjects = {r["subj"] for r in edges.collect()}
+    assert subjects == {"m:7:100", "m:7:200"}
+
+    nodes = build_nodes(links).collect()
+    mention_nodes = [n for n in nodes if n["node_type"] == "mention_entity"]
+    assert {n["node_id"] for n in mention_nodes} == {"m:7:100", "m:7:200"}
+    # different concepts -> different components -> different canonicals
+    canon = {n["node_id"]: n["canonical_id"] for n in mention_nodes}
+    assert canon["m:7:100"] != canon["m:7:200"]
+
+
+def test_links_config_change_forces_recompute(spark, tmp_path):
+    """ADVICE (round 2): reset_stage('links') with a CHANGED linking config
+    must recompute links, not silently keep the stale snapshot."""
+    wh_path = str(tmp_path / "wh")
+    wh, out = _run(spark, wh_path)
+    stale = {r["mention_id"] for r in out["links"].select("mention_id").collect()}
+    assert stale
+
+    wh.reset_stage("links")
+    wh.reset_stage("graph")
+    wh.table("edges").drop()
+    wh.table("nodes").drop()
+    # rerun with a domain filter: every mention must be re-scored under it
+    pipe = Pipeline(
+        spark, Warehouse(spark, wh_path),
+        PipelineConfig(target_domains=["Condition"]),
+    )
+    out2 = pipe.run(
+        transcripts_dataframe(spark, n_conversations=N_CONV),
+        *vocab_dataframes(spark),
+        build_lexicon(),
+    )
+    links2 = out2["links"]
+    # recompute happened: the last links commit is an overwrite...
+    ops = [s.operation for s in wh.table("links").history()]
+    assert ops[-1] == "overwrite"
+
+    # ...and the result equals a FROM-SCRATCH run under the new config
+    # (stale-resume would have kept the unfiltered mappings instead)
+    def link_set(df):
+        return {
+            (r["mention_id"], r["concept_id"], r["confidence"])
+            for r in df.where(F.col("error").isNull()).collect()
+        }
+
+    fresh = Pipeline(
+        spark, Warehouse(spark, str(tmp_path / "wh_fresh")),
+        PipelineConfig(target_domains=["Condition"]),
+    ).run(
+        transcripts_dataframe(spark, n_conversations=N_CONV),
+        *vocab_dataframes(spark),
+        build_lexicon(),
+    )
+    assert link_set(links2) == link_set(fresh["links"])
+    assert link_set(links2) != link_set(out["links"])
+
+
+def test_quarantined_rows_are_rescored_on_resume(spark, tmp_path):
+    """ADVICE (round 2): resume must NOT anti-join away quarantined rows —
+    a transient failure (e.g. executor OOM) gets retried, and the stale
+    error row is replaced, not duplicated."""
+    wh_path = str(tmp_path / "wh")
+    wh, out = _run(spark, wh_path)
+    links_tbl = wh.table("links")
+    full = links_tbl.read()
+    fp = links_tbl.snapshot().metrics.get("link_config")
+
+    # simulate a crash that left one mention quarantined by a transient error
+    victim = full.orderBy("mention_id").first()
+    poisoned = full.withColumn(
+        "error",
+        F.when(
+            F.col("mention_id") == victim["mention_id"],
+            F.lit("OutOfMemoryError: transient"),
+        ).otherwise(F.col("error")),
+    ).withColumn(
+        "concept_id",
+        F.when(
+            F.col("mention_id") == victim["mention_id"], F.lit(None)
+        ).otherwise(F.col("concept_id")),
+    )
+    links_tbl.overwrite(
+        poisoned.localCheckpoint(eager=True), metrics={"link_config": fp}
+    )
+    wh.reset_stage("links")
+    wh.reset_stage("graph")
+    wh.table("edges").drop()
+    wh.table("nodes").drop()
+
+    wh2, out2 = _run(spark, wh_path)
+    relinked = wh2.table("links").read()
+    rows = relinked.where(
+        F.col("mention_id") == victim["mention_id"]
+    ).collect()
+    # exactly one row for the victim, re-scored successfully (deterministic
+    # stand-ins can't fail), no stale error copy left behind
+    assert len(rows) == 1
+    assert rows[0]["error"] is None
+    assert rows[0]["concept_id"] == victim["concept_id"]
+    # and the quarantine table no longer lists it
+    q = wh2.table("quarantine").read()
+    assert q.where(F.col("mention_id") == victim["mention_id"]).isEmpty()
 
 
 def test_remap_last_write_wins(spark, tmp_path):
