@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_topk,
         ivf_topk,
         knn_join,
+        knn_join_shuffled,
         lsh_bucketed_topk,
     )
     from omop_concept_automapper_spark.operators.connected_components import (
@@ -480,6 +481,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return knn_join(spark, qpdf, emb.where(F.col("vec_id") >= 20), k=5)
 
+    def ann_knn_join_shuffled(spark, sf):
+        # both-sides-large variant: queries stay a DataFrame (never driver
+        # pandas); index hash-sharded once, queries replicated per shard,
+        # cogrouped matmul + global top-k merge (operators/similarity.py
+        # knn_join_shuffled). Same semantics as ann_knn_join — the oracle is
+        # the identical brute-force SQL.
+        emb = _t(spark, sf, "embeddings")
+        q = (
+            emb.where(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("vector"))
+        )
+        return knn_join_shuffled(
+            spark, q, emb.where(F.col("vec_id") >= 20), k=5, n_shards=4
+        )
+
     def ann_ivf_topk(spark, sf):
         # IVF coarse-quantized ANN run at FULL probe (n_probe == n_centroids)
         # so the result is exact and a brute-force SQL oracle can hash-check
@@ -489,6 +506,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         return ivf_topk(
             spark, emb, list(range(8)), k=5, n_centroids=16, n_probe=16
+        )
+
+    def ann_ivf_recall(spark, sf):
+        # the APPROXIMATE IVF path (n_probe < n_centroids) observably gated:
+        # per-query recall vs exact brute force, pinned as golden VALUES —
+        # possible because the quantizer is the shared integer-snapped
+        # k-means fit on a deterministic sample (operators/similarity.py
+        # integer_kmeans; round-2 verdict ask #4)
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.operators.similarity import (
+            ivf_recall_report,
+        )
+
+        p = write_gate_fixtures()
+        emb = spark.read.parquet(p["ivf_embeddings"])
+        return ivf_recall_report(
+            spark, emb, list(range(8)), k=10, n_centroids=16, n_probe=4
         )
 
     def ann_lsh_bucketed(spark, sf):
@@ -719,6 +755,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         occ = extract_mention_occurrences(
             t, [e["mention_text"] for e in build_lexicon()]
         )
+        return occ.groupBy("mention_text").agg(
+            F.count(F.lit(1)).alias("freq")
+        )
+
+    def kg_mention_freqs_token_path(spark, sf):
+        # the LARGE-lexicon detector path (functions/mentions.py token-
+        # indexed gazetteer, auto-selected above 1024 forms): detection
+        # counts over a 2.4k-form lexicon hash-checked against a sequential
+        # golden computed with the REGEX kernel — pins cross-kernel parity
+        # through the distributed path (round-2 verdict ask #2)
+        from omop_concept_automapper_spark.fixtures.large_lexicon import (
+            build_large_lexicon,
+            large_lexicon_texts,
+        )
+        from omop_concept_automapper_spark.plans.mentions import (
+            extract_mention_occurrences,
+        )
+
+        lex = build_large_lexicon()
+        t = spark.createDataFrame(
+            large_lexicon_texts(), "conv_id string, turn_idx int, text string"
+        )
+        occ = extract_mention_occurrences(t, [e["mention_text"] for e in lex])
         return occ.groupBy("mention_text").agg(
             F.count(F.lit(1)).alias("freq")
         )
@@ -1001,7 +1060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_vec0": ann_topk_vec0,
         "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "ann_knn_join": ann_knn_join,
+        "ann_knn_join_shuffled": ann_knn_join_shuffled,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_recall": ann_ivf_recall,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_quality_metrics": text_quality_metrics,
         "text_lang_id": text_lang_id,
@@ -1018,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_domain_filter": p3_domain_filter,
         "a5_atc7_summary": a5_atc7_summary,
         "kg_mention_freqs": kg_mention_freqs,
+        "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
         "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
         "kg_pipeline_edges_domain_filtered": kg_pipeline_edges_domain_filtered,
         "kg_rejections": kg_rejections,
@@ -1140,6 +1202,48 @@ def _kg_mention_freqs_sql(n_conversations: int = 40) -> str:
     from omop_concept_automapper_spark.plans.oracle import oracle_link_default
 
     freq = oracle_link_default(n_conversations=n_conversations)["freq"]
+    rows = ", ".join(
+        "('{m}', {n})".format(m=m.replace("'", "''"), n=int(freq[m]))
+        for m in sorted(freq)
+    )
+    return (
+        f"SELECT mention_text, CAST(freq AS BIGINT) AS freq "
+        f"FROM (VALUES {rows}) AS t(mention_text, freq)"
+    )
+
+
+def _ivf_recall_sql() -> str:
+    """Golden per-query recall of the approximate IVF path, computed by the
+    sequential oracle twin (operators/similarity.py sequential_ivf_recall)
+    over the same integer-vector fixture the gate reads."""
+    from omop_concept_automapper_spark.fixtures.gatefiles import (
+        ivf_embedding_rows,
+    )
+    from omop_concept_automapper_spark.operators.similarity import (
+        sequential_ivf_recall,
+    )
+
+    vec_ids, vectors = ivf_embedding_rows()
+    recall = sequential_ivf_recall(
+        vec_ids, vectors, list(range(8)), k=10, n_centroids=16, n_probe=4
+    )
+    rows = ", ".join(f"({q}, {bp})" for q, bp in sorted(recall.items()))
+    return (
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+        f"CAST(recall_bp AS BIGINT) AS recall_bp "
+        f"FROM (VALUES {rows}) AS t(query_id, recall_bp)"
+    )
+
+
+def _kg_mention_freqs_token_path_sql() -> str:
+    """Golden detection frequencies for the LARGE-lexicon fixture, computed
+    sequentially with the regex kernel (fixtures/large_lexicon.py) — the
+    distributed gate runs the token-indexed gazetteer path."""
+    from omop_concept_automapper_spark.fixtures.large_lexicon import (
+        golden_token_path_freqs,
+    )
+
+    freq = golden_token_path_freqs()
     rows = ", ".join(
         "('{m}', {n})".format(m=m.replace("'", "''"), n=int(freq[m]))
         for m in sorted(freq)
@@ -1434,6 +1538,15 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
               FROM embeddings q JOIN embeddings e ON e.vec_id >= 20
               WHERE q.vec_id < 20) WHERE rank <= 5""",
+        "ann_knn_join_shuffled": """
+            SELECT query_id, vec_id, rank, cosine_bp FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank,
+                     CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+              FROM embeddings q JOIN embeddings e ON e.vec_id >= 20
+              WHERE q.vec_id < 20) WHERE rank <= 5""",
         "ann_lsh_bucketed": f"""
             WITH base AS (
               SELECT vec_id, embedding, {_hyperplane_bucket_sql(6)} AS bkt
@@ -1560,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(AVG(n_codes) * 10000) AS BIGINT) AS avg_codes_bp
             FROM per_drug""",
         "kg_mention_freqs": _kg_mention_freqs_sql(n_conversations=40),
+        "kg_mention_freqs_token_path": _kg_mention_freqs_token_path_sql(),
+        "ann_ivf_recall": _ivf_recall_sql(),
         "w6_turn_ordering_invariant": f"""
             SELECT conv_id, turn_idx,
                    ROW_NUMBER() OVER (PARTITION BY conv_id

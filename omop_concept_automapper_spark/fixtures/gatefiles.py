@@ -56,6 +56,29 @@ def _source_concepts_csv_text() -> str:
     return "\n".join(lines) + "\n"
 
 
+def ivf_embedding_rows(
+    n: int = 2000, dim: int = 32, n_centers: int = 16, seed: int = 11
+) -> tuple:
+    """Clustered INTEGER-valued embedding fixture for the IVF recall gate.
+
+    Integer coordinates make every dot product / squared distance exactly
+    representable in float64 under any summation order, so the approximate
+    path's recall is bitwise-deterministic across partitionings — pinnable
+    as golden VALUES (operators/similarity.py integer_kmeans)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.integers(-40, 41, size=(n_centers, dim))
+    vec_ids = np.arange(n, dtype=np.int64)
+    vectors = np.empty((n, dim), dtype=np.float64)
+    for i in range(n):
+        # noise ±15 vs center spread ±40: clusters overlap enough that true
+        # neighborhoods cross list boundaries, so the gate's recalls land in
+        # [0.6, 1.0] — the approximate knob is actually observable
+        vectors[i] = centers[i % n_centers] + rng.integers(-15, 16, size=dim)
+    return vec_ids, vectors
+
+
 def write_gate_fixtures(root: str = GATE_FIXTURE_DIR) -> dict[str, str]:
     """Write every gate fixture file; returns name -> absolute path."""
     from omop_concept_automapper_spark.fixtures.vocabulary import build_mini_vocab
@@ -72,7 +95,19 @@ def write_gate_fixtures(root: str = GATE_FIXTURE_DIR) -> dict[str, str]:
         "embedded_manifest": os.path.join(root, "embedded_manifest.parquet"),
         "edges_base": os.path.join(root, "edges_base.parquet"),
         "edges_delta": os.path.join(root, "edges_delta.parquet"),
+        "ivf_embeddings": os.path.join(root, "ivf_embeddings.parquet"),
     }
+
+    vec_ids, vectors = ivf_embedding_rows()
+    ivf = pd.DataFrame(
+        {
+            "vec_id": pd.Series(vec_ids, dtype="int64"),
+            "embedding": [[float(x) for x in v] for v in vectors],
+        }
+    )
+    _write_parquet(
+        paths["ivf_embeddings"], pa.Table.from_pandas(ivf, preserve_index=False)
+    )
 
     _atomic_write_bytes(
         paths["source_concepts_csv"], _source_concepts_csv_text().encode()

@@ -190,3 +190,40 @@ class TestMentionDetection:
             "migraine and asthma and migraine", pattern, canon
         )
         assert found == ["asthma", "migraine"]
+
+
+class TestLargeLexiconTokenPath:
+    """The >1k-form production detector path (round-2 verdict ask #2)."""
+
+    def test_autoselect_picks_token_path(self):
+        from omop_concept_automapper_spark.fixtures.large_lexicon import (
+            build_large_lexicon,
+        )
+        from omop_concept_automapper_spark.plans.mentions import (
+            _TOKEN_PATH_THRESHOLD,
+        )
+
+        assert len(build_large_lexicon()) > _TOKEN_PATH_THRESHOLD
+
+    def test_token_and_regex_kernels_agree_on_large_fixture(self):
+        from omop_concept_automapper_spark.fixtures.large_lexicon import (
+            build_large_lexicon,
+            large_lexicon_texts,
+        )
+        from omop_concept_automapper_spark.functions.mentions import (
+            compile_lexicon,
+            compile_token_gazetteer,
+            detect_mentions_py,
+            detect_mentions_tokens,
+        )
+
+        forms = [e["mention_text"] for e in build_large_lexicon()]
+        heads, tcanon = compile_token_gazetteer(forms)
+        pattern, rcanon = compile_lexicon(forms)
+        n_hits = 0
+        for (_conv, _turn, text) in large_lexicon_texts(400):
+            tok = detect_mentions_tokens(text, heads, tcanon)
+            rex = detect_mentions_py(text, pattern, rcanon)
+            assert tok == rex
+            n_hits += len(tok)
+        assert n_hits > 100  # the fixture really exercises detection

@@ -101,3 +101,87 @@ def test_ann_topk_excludes_and_orders(spark, emb):
     bps = [r["cosine_bp"] for r in res]
     assert bps == sorted(bps, reverse=True)
     assert 0 not in {r["vec_id"] for r in res}
+
+
+def test_knn_join_shuffled_equals_broadcast_variant(spark):
+    """Both-sides-large shard-equijoin kNN (round-2 verdict ask #5) must be
+    row-identical to the broadcast-query variant on the fixture, and must
+    never hold queries in driver pandas (the queries side stays a plan)."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        knn_join,
+        knn_join_shuffled,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    qpdf = qdf.toPandas()
+    base = knn_join(spark, qpdf, emb.where("vec_id >= 20"), k=5)
+    shuf = knn_join_shuffled(spark, qdf, emb.where("vec_id >= 20"), k=5, n_shards=4)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], r["cosine_bp"])
+            for r in df.collect()
+        )
+
+    assert rows(shuf) == rows(base)
+    # a degenerate shard count must still be exact
+    shuf1 = knn_join_shuffled(spark, qdf, emb.where("vec_id >= 20"), k=5, n_shards=1)
+    assert rows(shuf1) == rows(base)
+
+
+def test_ivf_sampled_fit_full_probe_still_exact(spark, emb):
+    """The quantizer fit on a tiny sample (fit_sample_rows << table) must
+    not change full-probe results: with n_probe == n_centroids every list
+    is scanned regardless of where the centroids landed."""
+    small = emb.where("vec_id < 120")
+    exact = ivf_topk(
+        spark, small, QUERY_IDS, k=3, n_centroids=8, n_probe=8,
+        fit_sample_rows=30,
+    )
+    brute = {}
+    for q in QUERY_IDS:
+        qv = small.where(F.col("vec_id") == q).first()["embedding"]
+        rows = ann_topk(
+            small.where(F.col("vec_id") != q), list(qv), k=3
+        ).collect()
+        brute[q] = [(r["vec_id"], r["cosine_bp"]) for r in rows]
+    got = {}
+    for r in exact.orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine_bp"]))
+    assert got == brute
+
+
+def test_ivf_recall_report_matches_sequential_twin(spark):
+    """Distributed recall report == sequential oracle twin, bitwise — the
+    integer-exactness property the gate's VALUES oracle depends on."""
+    import numpy as np
+
+    from omop_concept_automapper_spark.fixtures.gatefiles import (
+        ivf_embedding_rows,
+    )
+    from omop_concept_automapper_spark.operators.similarity import (
+        ivf_recall_report,
+        sequential_ivf_recall,
+    )
+
+    ids, vecs = ivf_embedding_rows(n=600, dim=16, n_centers=8, seed=3)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(13)  # partitioning must not affect the result
+    got = {
+        r["query_id"]: r["recall_bp"]
+        for r in ivf_recall_report(
+            spark, df, list(range(6)), k=8, n_centroids=8, n_probe=3
+        ).collect()
+    }
+    want = sequential_ivf_recall(
+        np.asarray(ids), np.asarray(vecs), list(range(6)),
+        k=8, n_centroids=8, n_probe=3,
+    )
+    assert got == want
+    # the knob is real on this fixture: not all queries at 100%
+    assert any(v < 10000 for v in got.values())
