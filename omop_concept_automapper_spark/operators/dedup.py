@@ -227,7 +227,7 @@ def embedding_neardup_pairs(
     1 blocked on ``label`` (fixed cardinality ⇒ O(n²) growth at 100x).
     """
     from omop_concept_automapper_spark.operators.similarity import (
-        hyperplane_bucket,
+        hyperplane_buckets_arrow,
         planes_for_corpus,
         rademacher_planes,
     )
@@ -235,11 +235,10 @@ def embedding_neardup_pairs(
     if n_planes is None:
         n_planes = planes_for_corpus(embeddings.count())
     planes = rademacher_planes(dim, n_planes, seed)
-    base = embeddings.select(
-        "vec_id",
-        "embedding",
-        hyperplane_bucket(F.col("embedding"), planes).alias("bkt"),
-    )
+    # Arrow matmul bucketing (engine path); the oracle renders the
+    # equivalent column-expr add-chain — assignments pinned equal in
+    # tests/test_similarity.py::test_arrow_and_expr_bucketing_agree
+    base = hyperplane_buckets_arrow(embeddings, planes)
     l, r = base.alias("l"), base.alias("r")
     cos = cosine_col(F.col("l.embedding"), F.col("r.embedding"))
     return (

@@ -517,6 +517,47 @@ def hyperplane_bucket(col, planes: np.ndarray):
     return F.concat(*parts)
 
 
+def hyperplane_buckets_arrow(embeddings: DataFrame, planes: np.ndarray) -> DataFrame:
+    """Engine-path LSH bucketing: one Arrow-batched numpy matmul per batch
+    instead of the (dim x n_planes)-term codegen add-chain that caused the
+    r02 ``ann_lsh_bucketed`` 3x regression (round-2 verdict ask #6).
+
+    Output: (vec_id, embedding double[], bkt) — embedding is passed through
+    (cast to double, which the downstream cosine does anyway) so the
+    bucket-equijoin needs no extra join back to the source.
+
+    Sign agreement with ``hyperplane_bucket`` (the left-to-right column
+    expression the DuckDB oracle renders): a ±1-weighted dot differs between
+    summation orders only by ~1e-15 relative error, so signs can disagree
+    only when |projection| is below that — never observed on the fixtures;
+    tests/test_sketches.py pins assignment equality at sf0.001 AND sf0.01,
+    so the oracle keeps hash-checking the Arrow path.
+    """
+    P = planes.astype(np.float64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            bits = (X @ P.T) >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": [[float(x) for x in v] for v in X],
+                    "bkt": [
+                        "".join("1" if b else "0" for b in row) for row in bits
+                    ],
+                }
+            )
+
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(run, schema="vec_id long, embedding array<double>, bkt string")
+
+
 def sign_bucket(col, n_planes: int = 4):
     """Deprecated coarse bucket (signs of the FIRST n dims): kept only for
     comparison; fixed 2^n buckets degrade to O(n^2/2^n) at scale.  Use
@@ -534,19 +575,26 @@ def lsh_bucketed_topk(
     n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
+    bucketing: str = "arrow",
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
     random-hyperplane bucket (bucket-equijoin instead of cross join).
     ``n_planes`` defaults to the corpus-scaled rule so bucket sizes stay
-    bounded as the table grows."""
+    bounded as the table grows.  ``bucketing='arrow'`` (default) computes
+    projections with the batched numpy kernel; ``'expr'`` keeps the
+    column-expression variant the oracle renders (both assignments pinned
+    equal on the fixtures)."""
     if n_planes is None:
         n_planes = planes_for_corpus(embeddings.count())
     planes = rademacher_planes(dim, n_planes, seed)
-    base = embeddings.select(
-        "vec_id",
-        "embedding",
-        hyperplane_bucket(F.col("embedding"), planes).alias("bkt"),
-    )
+    if bucketing == "arrow":
+        base = hyperplane_buckets_arrow(embeddings, planes)
+    else:
+        base = embeddings.select(
+            "vec_id",
+            "embedding",
+            hyperplane_bucket(F.col("embedding"), planes).alias("bkt"),
+        )
     l, r = base.alias("l"), base.alias("r")
     cos = cosine_col(F.col("l.embedding"), F.col("r.embedding"))
     scored = l.join(

@@ -185,3 +185,47 @@ def test_ivf_recall_report_matches_sequential_twin(spark):
     assert got == want
     # the knob is real on this fixture: not all queries at 100%
     assert any(v < 10000 for v in got.values())
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_arrow_and_expr_bucketing_agree(spark, sf_dir):
+    """The Arrow matmul bucketing (engine path) and the left-to-right
+    column-expr add-chain (what the DuckDB oracle renders) must assign
+    identical buckets — at the local-mirror SF and the driver's SF."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        hyperplane_bucket,
+        hyperplane_buckets_arrow,
+        rademacher_planes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = rademacher_planes(64, 6)
+    arrow = {
+        r["vec_id"]: r["bkt"]
+        for r in hyperplane_buckets_arrow(emb, planes).collect()
+    }
+    expr = {
+        r["vec_id"]: r["bkt"]
+        for r in emb.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), planes).alias("bkt")
+        ).collect()
+    }
+    assert arrow == expr
+
+
+def test_lsh_bucketed_topk_arrow_equals_expr(spark):
+    from omop_concept_automapper_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").where(
+        "vec_id < 300"
+    )
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"], r["cosine_bp"])
+            for r in df.collect()
+        )
+
+    assert rows(lsh_bucketed_topk(emb, k=3, n_planes=6, bucketing="arrow")) == \
+        rows(lsh_bucketed_topk(emb, k=3, n_planes=6, bucketing="expr"))
