@@ -102,6 +102,22 @@ def main() -> None:
     force(connected_components(cc_edges, stats=cc_stats))
     timings["cc_components_1m"] = round(time.perf_counter() - t0, 3)
 
+    # 10^7 edges (round-2 verdict ask #7): 2M-degree hub + 50-node chains —
+    # an order-of-magnitude scale-up evidencing the same round count
+    n_hub10, n_cc10 = 2_000_000, 10_000_000
+    hub10 = spark.range(1, n_hub10).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    rest10 = spark.range(n_hub10, n_cc10).select(
+        F.col("id").alias("src"),
+        (F.col("id") - F.col("id") % 50).cast("long").alias("dst"),
+    )
+    cc10_edges = hub10.union(rest10).localCheckpoint(eager=True)
+    cc10_stats: dict = {}
+    t0 = time.perf_counter()
+    force(connected_components(cc10_edges, stats=cc10_stats))
+    timings["cc_components_10m"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "e2e_sec",
@@ -116,6 +132,7 @@ def main() -> None:
         "kg_turns_per_sec_e2e": kg["turns_per_sec_e2e"],
         "kg_edges": kg["edges"],
         "cc_1m_rounds": cc_stats.get("rounds"),
+        "cc_10m_rounds": cc10_stats.get("rounds"),
     }
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()

@@ -8,19 +8,34 @@ Kiveris et al. "Connected Components in MapReduce and Beyond" two-phase
 star contraction — O(log n) rounds, each round pure DataFrame ops).
 
 Scale notes:
-* every round is two shuffles (groupBy min + join); AQE handles skewed hub
-  nodes (a hot concept with millions of mentions is a single star and
-  contracts in one round);
+* every round's star phase is mins-agg (map-side partial combine — a hot
+  hub compresses to one row per map partition) + join (AQE skew-split
+  handles the hub's raw rows) + distinct.  Measured on a 10^6-degree hub
+  at local[8]: this join shape beats the 1-shuffle window alternative
+  below 0.85s vs 1.36s, because AQE splits the skewed join side while a
+  window pins the whole hub group to one task;
+* ``star_impl="window"`` selects that alternative — per-src min via
+  ``min over (partition by src)``: one shuffle per star instead of two and
+  no O(nodes) mins side at all (~15% faster on balanced graphs, tested
+  output-equivalent) — use it when the graph has no extreme hubs;
+* cross-round exchange reuse (bucketed co-partitioning) was explored and
+  is NOT achievable in DataFrame-land on Spark 4: AQE's stage cache does
+  not match the self-join's re-aliased repartitions, and
+  ``localCheckpoint`` of an adaptive plan comes back with
+  UnknownPartitioning, so both consumers re-shuffle (see SCALE.md §CC);
 * ``localCheckpoint`` every round truncates the lineage so plans don't grow
-  exponentially across iterations;
+  exponentially across iterations; the checkpoint is lazy and the round's
+  convergence checksum triggers its materialization — one job per round,
+  not two;
 * convergence check = the edge multiset is a fixed point (count + hash
-  checksum), computed in the same job as the transformation.
+  checksum).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -50,6 +65,35 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _large_star_window(edges: DataFrame) -> DataFrame:
+    """Join-free large-star: per-src min as a window aggregate — ONE shuffle
+    of bidir instead of agg+join, no mins side to broadcast or merge.
+    Output-equivalent to ``_large_star`` (tested); prefer on graphs without
+    extreme hubs (a window pins each src group to a single task)."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    w = Window.partitionBy("src")
+    out = (
+        bidir.withColumn("mn", F.least(F.min("dst").over(w), F.col("src")))
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _small_star_window(edges: DataFrame) -> DataFrame:
+    """Join-free small-star twin of ``_small_star``; per-src duplicates of
+    the root row collapse in the final distinct."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src")
+    with_mn = oriented.withColumn("mn", F.min("dst").over(w))
+    nbrs = with_mn.select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    roots = with_mn.select("src", F.col("mn").alias("dst"))
+    out = nbrs.union(roots)
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
 def _checksum(edges: DataFrame) -> tuple[int, int]:
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
@@ -62,26 +106,39 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, stats: dict | None = None
+    edges: DataFrame,
+    max_iterations: int = 20,
+    stats: dict | None = None,
+    star_impl: str = "join",
 ) -> DataFrame:
     """Compute components of an undirected graph.
 
-    Input: DataFrame(src long, dst long).  Output: DataFrame(node long,
-    component long) covering every node, component = min node id reachable.
-    ``stats`` (optional dict) receives {"rounds": n} — used by the scale
-    tests to pin O(log n) convergence and one-round hub contraction.
+    Input: DataFrame(src, dst) — any orderable column type (long node ids,
+    or the struct encoding plans/graph.py uses for 128-bit mention keys).
+    Output: DataFrame(node, component) covering every node, component = min
+    node reachable.  ``stats`` (optional dict) receives {"rounds": n} —
+    used by the scale tests to pin O(log n) convergence and one-round hub
+    contraction.  ``star_impl``: "join" (default, AQE-skew-safe) or
+    "window" (one fewer shuffle per star; see module docstring).
     """
+    large, small = (
+        (_large_star_window, _small_star_window)
+        if star_impl == "window"
+        else (_large_star, _small_star)
+    )
     all_nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    cur = cur.localCheckpoint(eager=True)
+    # lazy checkpoint: the checksum action right after materializes it, so
+    # each round runs ONE job (truncated lineage either way)
+    cur = cur.localCheckpoint(eager=False)
     prev_sig = _checksum(cur)
     rounds = 0
     for _ in range(max_iterations):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = small(large(cur)).localCheckpoint(eager=False)
         rounds += 1
         sig = _checksum(cur)
         if sig == prev_sig:

@@ -469,3 +469,35 @@ def test_cc_million_edges_skewed_hub(spark):
     )
     n_components = labels.select("component").distinct().count()
     assert n_components == 1 + (n - n_hub) // 50
+
+
+def test_connected_components_window_impl_equivalent(spark):
+    """The join-free window star implementation must produce identical
+    labels to the default join implementation (including struct nodes)."""
+    rows = [(100, i) for i in range(101, 120)] + [
+        (i, i + 1) for i in range(200, 230)
+    ] + [(1, 2), (2, 3), (50, 50)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    want = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, star_impl="window").collect()
+    }
+    assert got == want
+
+    # struct node encoding (the 128-bit mention key path)
+    sedges = edges.selectExpr(
+        "named_struct('n1', src, 'n2', src * 7) as src",
+        "named_struct('n1', dst, 'n2', dst * 7) as dst",
+    )
+    sw = {
+        (r["node"]["n1"], r["component"]["n1"])
+        for r in connected_components(sedges, star_impl="window").collect()
+    }
+    sj = {
+        (r["node"]["n1"], r["component"]["n1"])
+        for r in connected_components(sedges).collect()
+    }
+    assert sw == sj

@@ -179,3 +179,33 @@ def test_occurrence_write_is_range_partitioned_on_conv(spark):
     ).repartitionByRange("conv_id", "turn_idx")
     simple = plan_str(occ, mode="simple")
     assert "rangepartitioning(conv_id" in simple.lower(), simple
+
+
+def test_cc_star_round_plan_shape(spark):
+    """One CC star phase must keep its mins aggregation map-side-partial
+    (a hot hub compresses per map partition before the shuffle) and ship
+    the window variant with strictly fewer exchanges than the join variant
+    — the measured per-round shuffle inventory SCALE.md documents."""
+    import re
+
+    from omop_concept_automapper_spark.operators.connected_components import (
+        _large_star,
+        _large_star_window,
+    )
+
+    edges = spark.range(0, 1000).selectExpr("id as src", "id % 37 + 5000 as dst")
+    join_plan = _large_star(edges)._jdf.queryExecution().executedPlan().toString()
+    win_plan = (
+        _large_star_window(edges)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in join_plan  # map-side combine before the shuffle
+
+    def n_exchanges(plan):
+        return len(re.findall(r"Exchange hashpartitioning", plan))
+
+    # join variant: mins agg + (join side may broadcast at this size) +
+    # distinct; window variant: window shuffle + distinct only
+    assert n_exchanges(win_plan) < n_exchanges(join_plan) or (
+        n_exchanges(win_plan) == 2
+    )
+    assert "SortMergeJoin" not in win_plan and "BroadcastHashJoin" not in win_plan
