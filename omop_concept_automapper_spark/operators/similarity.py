@@ -2,13 +2,19 @@
 
 * ``ann_topk`` — brute-force cosine top-k for one query vector, pure column
   expressions + TakeOrderedAndProject (no UDF).
-* ``knn_join`` — batch k-NN join: broadcast query matrix, blocked numpy
-  matmul inside mapInPandas (same kernel family as operators/knn.py) —
-  the scale path: each data partition streams past the broadcast queries,
-  no shuffle at all; results reduce with a per-query top-k.
-* ``lsh_bucketed_topk`` — sign-of-hyperplane (first ``n_planes`` dims)
-  coarse bucketing, then top-k WITHIN bucket: the IVF-style scale variant
-  where the full cross product is replaced by a bucket-equijoin.
+* ``knn_join`` — batch k-NN join with a DRIVER-RESIDENT query matrix
+  broadcast to executors; blocked numpy matmul inside mapInPandas, no
+  shuffle of the big side.  Right when queries fit in driver memory (the
+  mention-linking shape); NOT the both-sides-large path.
+* ``knn_join_shuffled`` — the both-sides-large exact kNN join: queries and
+  index both stay DataFrames (index hash-sharded once, queries replicated
+  per shard, cogrouped matmul, global top-k merge).
+* ``ivf_topk`` / ``ivf_recall_report`` — IVF approximate kNN with a
+  sample-fitted coarse quantizer, plus the recall observability report
+  for the approximate knob (integer-exact, VALUES-oracle-able).
+* ``lsh_bucketed_topk`` — random-hyperplane bucketing (corpus-scaled plane
+  count), then top-k WITHIN bucket: the full cross product replaced by a
+  bucket-equijoin; bucket assignment runs in the Arrow matmul kernel.
 """
 
 from __future__ import annotations
