@@ -209,3 +209,25 @@ def test_cc_star_round_plan_shape(spark):
         n_exchanges(win_plan) == 2
     )
     assert "SortMergeJoin" not in win_plan and "BroadcastHashJoin" not in win_plan
+
+
+def test_knn_join_shuffled_plan_shape(spark):
+    """Both-sides-large kNN join: the index side must shuffle exactly once
+    (its hash-shard exchange) and never be broadcast or collected; the
+    final merge is a window over the partial top-k, not a re-join."""
+    import re
+
+    from omop_concept_automapper_spark.operators.similarity import (
+        knn_join_shuffled,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 8").selectExpr(
+        "vec_id as query_id", "embedding as vector"
+    )
+    out = knn_join_shuffled(spark, q, emb.where("vec_id >= 8"), k=3, n_shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    assert "BroadcastExchange" not in plan
+    # exchanges: queries-by-shard, index-by-shard, window-by-query_id = 3
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
