@@ -229,6 +229,69 @@ class Pipeline:
         )
         return nodes_tbl.read(), edges_tbl.read()
 
+    # ------------------------------------------------------- incremental
+    def run_incremental(
+        self,
+        new_transcripts: DataFrame,
+        concept: DataFrame,
+        relationship: DataFrame,
+        ancestor: DataFrame,
+        lexicon: list[dict],
+    ) -> dict[str, DataFrame]:
+        """Fold NEW conversations into an existing warehouse.
+
+        The distributed generalization of the reference's incremental
+        embed-checkpoint loop (reference src/backend/db/methods/
+        embeddings.py:14-50) from one stage to the whole pipeline:
+
+        * new turns' mention occurrences are APPENDED to the occurrences
+          table (detection cost O(new turns) only);
+        * the mention dim is rebuilt from the full occurrences table (one
+          groupBy over occurrence rows — the dim is O(distinct mentions));
+        * linking reuses stage_links' row-level anti-join: mentions already
+          linked under the same config fingerprint are skipped, so model
+          cost is O(new distinct mentions);
+        * the graph stage recomputes canonicalization over all accepted
+          links (O(links)) and merge-upserts edges/nodes — bucketed, so
+          only buckets containing changed subjects are rewritten.
+
+        Invariant (tests/test_invariants.py::test_incremental_run_equals
+        _from_scratch): the resulting edges/nodes/links equal a from-scratch
+        run over the union of all transcripts.
+        """
+        vocab = self.stage_vocab_embeddings(concept, relationship, ancestor)
+
+        occ_tbl = self.wh.table("mention_occurrences")
+        surface_forms = [e["mention_text"] for e in lexicon]
+        new_occ = extract_mention_occurrences(
+            new_transcripts, surface_forms
+        ).repartitionByRange("conv_id", "turn_idx")
+        occ_snap = occ_tbl.append(new_occ)
+        mentions = build_mention_table(self.spark, occ_tbl.read(), lexicon)
+        m_snap = self.wh.table("mentions").overwrite(mentions)
+        self.wh.mark_stage_complete(
+            "mentions",
+            {
+                "occurrences_appended": occ_snap.rows_written,
+                "mentions": m_snap.rows_written,
+                "incremental": True,
+            },
+        )
+        # reopen downstream stages; their tables stay — links resume
+        # row-level, graph merges bucket-scoped
+        self.wh.reset_stage("links")
+        self.wh.reset_stage("graph")
+        mentions = self.wh.table("mentions").read()
+        links = self.stage_links(mentions, vocab)
+        nodes, edges = self.stage_graph(links)
+        return {
+            "vocab_embeddings": vocab,
+            "mentions": mentions,
+            "links": links,
+            "nodes": nodes,
+            "edges": edges,
+        }
+
     # --------------------------------------------------------------- run
     def run(
         self,

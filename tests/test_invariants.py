@@ -417,3 +417,58 @@ def test_bucketed_merge_last_write_wins_and_inserts(spark, tmp_path):
     )
     rows = {r["subj"]: r["v"] for r in tbl.read().collect()}
     assert rows == {"a": 1, "b": 2, "c": 2}
+
+
+def test_incremental_run_equals_from_scratch(spark, tmp_path):
+    """run_incremental over new conversations must converge to exactly the
+    from-scratch result on the union: same mention freqs, same links, same
+    edges, same canonical node grouping — with linking compute O(new
+    distinct mentions) (the anti-join skips already-linked ones)."""
+    lexicon = build_lexicon()
+    batch1 = transcripts_dataframe(spark, n_conversations=25)
+    all_convs = transcripts_dataframe(spark, n_conversations=N_CONV)
+    batch2 = all_convs.where(F.col("conv_id") >= "conv-000025")
+
+    # incremental: 25 convs, then fold in the remaining 15
+    wh_inc = Warehouse(spark, str(tmp_path / "wh_inc"))
+    pipe = Pipeline(spark, wh_inc, PipelineConfig())
+    pipe.run(batch1, *vocab_dataframes(spark), lexicon)
+    n_links_before = wh_inc.table("links").read().count()
+    out_inc = pipe.run_incremental(batch2, *vocab_dataframes(spark), lexicon)
+
+    # from-scratch over the union
+    wh_full, out_full = _run(spark, str(tmp_path / "wh_full"))
+
+    assert _edge_set(out_inc["edges"]) == _edge_set(out_full["edges"])
+
+    def freqs(df):
+        return {
+            r["mention_text"]: r["freq"]
+            for r in df.select("mention_text", "freq").collect()
+        }
+
+    assert freqs(out_inc["mentions"]) == freqs(out_full["mentions"])
+
+    def link_set(df):
+        return {
+            (r["mention_id"], r["mention_id2"], r["concept_id"], r["confidence"])
+            for r in df.where(F.col("error").isNull()).collect()
+        }
+
+    assert link_set(out_inc["links"]) == link_set(out_full["links"])
+
+    def canonical_groups(nodes_df):
+        groups: dict[str, set] = {}
+        for n in nodes_df.collect():
+            if n["node_type"] == "mention_entity":
+                groups.setdefault(n["canonical_id"], set()).add(n["label"])
+        return {frozenset(v) for v in groups.values()}
+
+    assert canonical_groups(out_inc["nodes"]) == canonical_groups(out_full["nodes"])
+
+    # linking was actually incremental: batch-1 mentions kept their rows
+    # (appended-to, not rebuilt) unless a quarantine retry forced a rewrite
+    n_new = out_inc["links"].count() - n_links_before
+    assert 0 < n_new < out_full["links"].count()
+    ops = [s.operation for s in wh_inc.table("links").history()]
+    assert ops[-1] == "append"
