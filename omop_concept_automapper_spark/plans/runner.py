@@ -237,6 +237,7 @@ class Pipeline:
         relationship: DataFrame,
         ancestor: DataFrame,
         lexicon: list[dict],
+        batch_id: int | None = None,
     ) -> dict[str, DataFrame]:
         """Fold NEW conversations into an existing warehouse.
 
@@ -258,21 +259,40 @@ class Pipeline:
         Invariant (tests/test_invariants.py::test_incremental_run_equals
         _from_scratch): the resulting edges/nodes/links equal a from-scratch
         run over the union of all transcripts.
+
+        ``batch_id`` (streaming seam): a replayed foreachBatch microbatch
+        whose occurrence append already committed (the batch id is recorded
+        in the snapshot metrics) skips the append — exactly-once folding
+        under Structured Streaming's at-least-once foreachBatch contract —
+        while the downstream stages still run to completion (they are
+        checkpoint-resumable, so a crash after the append converges on
+        replay).
         """
         vocab = self.stage_vocab_embeddings(concept, relationship, ancestor)
 
         occ_tbl = self.wh.table("mention_occurrences")
         surface_forms = [e["mention_text"] for e in lexicon]
-        new_occ = extract_mention_occurrences(
-            new_transcripts, surface_forms
-        ).repartitionByRange("conv_id", "turn_idx")
-        occ_snap = occ_tbl.append(new_occ)
+        already_applied = batch_id is not None and occ_tbl.exists() and any(
+            s.metrics.get("stream_batch_id") == batch_id
+            for s in occ_tbl.history()
+        )
+        if not already_applied:
+            new_occ = extract_mention_occurrences(
+                new_transcripts, surface_forms
+            ).repartitionByRange("conv_id", "turn_idx")
+            occ_metrics = (
+                {"stream_batch_id": batch_id} if batch_id is not None else None
+            )
+            occ_snap = occ_tbl.append(new_occ, metrics=occ_metrics)
+            occ_rows = occ_snap.rows_written
+        else:
+            occ_rows = 0
         mentions = build_mention_table(self.spark, occ_tbl.read(), lexicon)
         m_snap = self.wh.table("mentions").overwrite(mentions)
         self.wh.mark_stage_complete(
             "mentions",
             {
-                "occurrences_appended": occ_snap.rows_written,
+                "occurrences_appended": occ_rows,
                 "mentions": m_snap.rows_written,
                 "incremental": True,
             },

@@ -52,6 +52,49 @@ def ingest_available_now(
     query.awaitTermination()
 
 
+def stream_into_kg(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    pipeline,
+    concept: DataFrame,
+    relationship: DataFrame,
+    ancestor: DataFrame,
+    lexicon: list[dict],
+) -> None:
+    """Continuously fold newly-landed transcript files into the KG.
+
+    ``foreachBatch`` + ``Trigger.AvailableNow``: each microbatch of new
+    conversations runs ``Pipeline.run_incremental`` (append occurrences,
+    rebuild mention dim, relink only new mentions, bucket-scoped graph
+    merge).  Exactly-once under replay: the occurrence append records the
+    microbatch id in its snapshot metrics and a replayed batch skips the
+    append while still driving the resumable downstream stages to
+    completion.  Invariant (tests/test_sources_streaming.py): streaming
+    batches in produces exactly the from-scratch KG over the union, and a
+    re-trigger with no new files changes nothing.
+    """
+
+    def fold(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.run_incremental(
+            batch_df, concept, relationship, ancestor, lexicon,
+            batch_id=int(batch_id),
+        )
+
+    query = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def streaming_mention_counts(
     spark: SparkSession,
     landing_dir: str,

@@ -192,3 +192,83 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert len(by_media[2]) == 1
     with pytest.raises(NotImplementedError):
         sample_frames(media, fake=False)
+
+
+def test_stream_into_kg_equals_from_scratch(spark, tmp_path):
+    """foreachBatch incremental KG folding: streaming two landed transcript
+    files in (then re-triggering with nothing new) must converge to exactly
+    the from-scratch pipeline result over the union."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.runner import (
+        Pipeline,
+        PipelineConfig,
+    )
+    from omop_concept_automapper_spark.streaming.ingest import stream_into_kg
+
+    lexicon = build_lexicon()
+    all_convs = transcripts_dataframe(spark, n_conversations=30)
+    landing = str(tmp_path / "landing")
+    all_convs.where(F.col("conv_id") < "conv-000015").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    all_convs.where(F.col("conv_id") >= "conv-000015").coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    wh = Warehouse(spark, str(tmp_path / "wh_stream"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    args = (spark, landing, str(tmp_path / "ckpt"), pipe, *vocab_dataframes(spark), lexicon)
+    stream_into_kg(*args)
+
+    full = Pipeline(
+        spark, Warehouse(spark, str(tmp_path / "wh_full")), PipelineConfig()
+    ).run(all_convs, *vocab_dataframes(spark), lexicon)
+
+    def edge_set(df):
+        return {
+            (r["subj"], r["pred"], r["obj"], str(r["confidence"]))
+            for r in df.collect()
+        }
+
+    streamed_edges = wh.table("edges").read()
+    assert edge_set(streamed_edges) == edge_set(full["edges"])
+
+    # re-trigger with no new files: occurrences unchanged (exactly-once)
+    occ_before = wh.table("mention_occurrences").read().count()
+    stream_into_kg(*args)
+    assert wh.table("mention_occurrences").read().count() == occ_before
+    assert edge_set(wh.table("edges").read()) == edge_set(full["edges"])
+
+
+def test_run_incremental_batch_id_replay_is_exactly_once(spark, tmp_path):
+    """A replayed microbatch (same batch_id) must not double-append
+    occurrences — the foreachBatch at-least-once contract made idempotent."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.runner import (
+        Pipeline,
+        PipelineConfig,
+    )
+
+    lexicon = build_lexicon()
+    batch = transcripts_dataframe(spark, n_conversations=8)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    pipe.run_incremental(batch, *vocab_dataframes(spark), lexicon, batch_id=0)
+    n1 = wh.table("mention_occurrences").read().count()
+    freqs1 = {
+        r["mention_text"]: r["freq"]
+        for r in wh.table("mentions").read().collect()
+    }
+    pipe.run_incremental(batch, *vocab_dataframes(spark), lexicon, batch_id=0)
+    assert wh.table("mention_occurrences").read().count() == n1
+    freqs2 = {
+        r["mention_text"]: r["freq"]
+        for r in wh.table("mentions").read().collect()
+    }
+    assert freqs2 == freqs1
