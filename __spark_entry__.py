@@ -776,7 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lex = build_large_lexicon()
         t = spark.createDataFrame(
             large_lexicon_texts(), "conv_id string, turn_idx int, text string"
-        )
+        ).coalesce(8)  # 1.5k fixture rows: don't pay 32 python-worker spawns
         occ = extract_mention_occurrences(t, [e["mention_text"] for e in lex])
         return occ.groupBy("mention_text").agg(
             F.count(F.lit(1)).alias("freq")

@@ -32,7 +32,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_knn_join",
+    "ann_knn_join_shuffled",
     "ann_lsh_bucketed",
+    "kg_mention_freqs_token_path",
     "text_quality_metrics",
     "text_lang_id",
     "cc_components",

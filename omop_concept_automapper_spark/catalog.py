@@ -383,6 +383,49 @@ class Table:
             {**(metrics or {}), "lineage": lineage},
         )
 
+    # -------------------------------------------------------- maintenance
+    def compact(self, metrics: dict | None = None) -> Snapshot:
+        """Rewrite the table's live data into one snapshot (Iceberg's
+        ``rewrite_data_files``).  Append-heavy tables (the incremental
+        pipeline's ``mention_occurrences``) accumulate one data dir — and
+        its small files — per microbatch; compaction folds them so reads
+        stop paying per-append file-listing and small-file overhead.
+        Content is unchanged (tested); bucketed tables re-bucket through
+        the same spec."""
+        return self._commit_rewrite(
+            self.read(), "compact", None, {**(metrics or {}), "compacted": True}
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg's ``expire_snapshots``: drop all but the newest
+        ``keep_last`` manifests and DELETE data dirs referenced only by
+        expired snapshots.  The current snapshot is always retained.
+        Returns {"expired": n_manifests, "deleted_dirs": n_dirs}."""
+        keep_last = max(1, int(keep_last))
+        mdir = os.path.join(self.path, _MANIFESTS)
+        names = sorted(os.listdir(mdir))  # snapshot ids are time-ordered
+        current = self.current_snapshot_id()
+        keep = set(names[-keep_last:])
+        if current is not None:
+            keep.add(f"{current}.json")
+        live: set[str] = set()
+        for name in keep:
+            with open(os.path.join(mdir, name)) as f:
+                live.update(json.loads(f.read())["live_dirs"])
+        expired = [n for n in names if n not in keep]
+        doomed: set[str] = set()
+        for name in expired:
+            with open(os.path.join(mdir, name)) as f:
+                doomed.update(json.loads(f.read())["live_dirs"])
+        doomed -= live
+        # delete manifests first: a crash mid-way leaves orphan data dirs
+        # (safe, re-collectable) rather than manifests pointing at nothing
+        for name in expired:
+            os.remove(os.path.join(mdir, name))
+        for d in doomed:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"expired": len(expired), "deleted_dirs": len(doomed)}
+
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
 

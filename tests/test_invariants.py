@@ -472,3 +472,55 @@ def test_incremental_run_equals_from_scratch(spark, tmp_path):
     assert 0 < n_new < out_full["links"].count()
     ops = [s.operation for s in wh_inc.table("links").history()]
     assert ops[-1] == "append"
+
+
+def test_compact_folds_appends_without_changing_content(spark, tmp_path):
+    """Iceberg-maintenance parity: compaction folds N append snapshots'
+    data dirs into one, content byte-identical, history preserved."""
+    tbl = Warehouse(spark, str(tmp_path / "wh")).table("t")
+    for i in range(4):
+        tbl.append(spark.range(i * 10, (i + 1) * 10).selectExpr("id as v"))
+    before = sorted(r["v"] for r in tbl.read().collect())
+    assert len(tbl.snapshot().live_dirs) == 4
+    snap = tbl.compact()
+    assert snap.operation == "compact"
+    assert len(tbl.snapshot().live_dirs) == 1
+    assert sorted(r["v"] for r in tbl.read().collect()) == before
+    assert [s.operation for s in tbl.history()].count("append") == 4
+
+
+def test_expire_snapshots_deletes_only_unreferenced_dirs(spark, tmp_path):
+    """expire_snapshots drops old manifests and their now-orphaned data
+    dirs while every dir the retained snapshots reference survives —
+    time travel to retained snapshots keeps working."""
+    import os
+
+    tbl = Warehouse(spark, str(tmp_path / "wh")).table("t")
+    for i in range(3):
+        tbl.append(spark.range(i * 5, (i + 1) * 5).selectExpr("id as v"))
+    tbl.compact()  # old append dirs now referenced ONLY by old manifests
+    live_dirs = set(tbl.snapshot().live_dirs)
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["expired"] == 3
+    assert stats["deleted_dirs"] == 3
+    # current snapshot intact and readable
+    assert sorted(r["v"] for r in tbl.read().collect()) == list(range(15))
+    for d in live_dirs:
+        assert os.path.exists(d)
+    # expired data dirs actually gone
+    data_root = os.path.join(tbl.path, "data")
+    assert set(
+        os.path.join(data_root, n) for n in os.listdir(data_root)
+    ) == live_dirs
+
+
+def test_expire_keeps_shared_dirs_referenced_by_retained_snapshots(spark, tmp_path):
+    """An append chain shares data dirs across snapshots: expiring old
+    manifests must NOT delete dirs the newest snapshot still references."""
+    tbl = Warehouse(spark, str(tmp_path / "wh")).table("t")
+    for i in range(3):
+        tbl.append(spark.range(i * 5, (i + 1) * 5).selectExpr("id as v"))
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["expired"] == 2
+    assert stats["deleted_dirs"] == 0  # all dirs live in the kept snapshot
+    assert sorted(r["v"] for r in tbl.read().collect()) == list(range(15))
