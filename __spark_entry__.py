@@ -483,10 +483,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ann_knn_join_shuffled(spark, sf):
         # both-sides-large variant: queries stay a DataFrame (never driver
-        # pandas); index hash-sharded once, queries replicated per shard,
-        # cogrouped matmul + global top-k merge (operators/similarity.py
-        # knn_join_shuffled). Same semantics as ann_knn_join — the oracle is
-        # the identical brute-force SQL.
+        # pandas); block-partitioned (qslice, shard) cogrouped matmul +
+        # global top-k merge (operators/similarity.py knn_join_shuffled).
+        # Same semantics as ann_knn_join — the oracle is the identical
+        # brute-force SQL.
         emb = _t(spark, sf, "embeddings")
         q = (
             emb.where(F.col("vec_id") < 20)
@@ -495,6 +495,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return knn_join_shuffled(
             spark, q, emb.where(F.col("vec_id") >= 20), k=5, n_shards=4
+        )
+
+    def ann_knn_join_qsliced(spark, sf):
+        # the r3-verdict memory fix made explicit: a DIFFERENT (qslice,
+        # shard) grid than ann_knn_join_shuffled's default, proving per-task
+        # memory is O(|Q|/n_qslices + |E|/n_shards) while the exact-top-k
+        # merge keeps results bitwise identical (same brute-force oracle).
+        emb = _t(spark, sf, "embeddings")
+        q = (
+            emb.where(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("vector"))
+        )
+        return knn_join_shuffled(
+            spark, q, emb.where(F.col("vec_id") >= 20),
+            k=5, n_shards=3, n_qslices=3,
         )
 
     def ann_ivf_topk(spark, sf):
@@ -1020,37 +1036,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("confidence").cast("long").alias("confidence"),
         )
 
+    # Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot covers
+    # only the first 50 entries. Positions 1-19 are the gates that had never
+    # produced a driver-checked row through round 3 (every KG-pipeline gate
+    # plus the import/catalog surface), positions 20-21 the two gates rotated
+    # out of the r3 window, then the dedup/ANN/text/CC family, then a
+    # representative relational slice. The 19 long-stable TPC-H/window gates
+    # demoted past position 50 were driver-green in BOTH r02 and r03 and are
+    # still covered by the in-repo mirror (tests/test_entry_contract.py).
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_segment_revenue_topn": q3_segment_revenue_topn,
-        "j1_customers_without_orders": j1_customers_without_orders,
-        "j2_nation_revenue": j2_nation_revenue,
-        "j4_order_lineitem_counts": j4_order_lineitem_counts,
-        "j7_parts_in_lineitem": j7_parts_in_lineitem,
-        "u1_two_path_nations": u1_two_path_nations,
-        "a3_priority_stats": a3_priority_stats,
-        "a4_nation_segments": a4_nation_segments,
-        "a6_distinct_status": a6_distinct_status,
-        "a7_status_rollup": a7_status_rollup,
-        "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
-        "w2_event_sequence": w2_event_sequence,
-        "w3_lag_delta": w3_lag_delta,
-        "w4_rolling_sum": w4_rolling_sum,
-        "a11_rollup_counts": a11_rollup_counts,
-        "q4_priority_with_late_ship": q4_priority_with_late_ship,
-        "a12_cube_counts": a12_cube_counts,
-        "w5_sessionize": w5_sessionize,
-        "j10_asof_join": j10_asof_join,
-        "f_sample_hash": f_sample_hash,
-        "f_width_bucket_hist": f_width_bucket_hist,
-        "f_levenshtein": f_levenshtein,
-        "o3_top20_orders": o3_top20_orders,
-        "p6_regex_extract_events": p6_regex_extract_events,
-        "f_scalar_pack": f_scalar_pack,
-        "p2_class_exclusion_filter": p2_class_exclusion_filter,
-        "q6_filtered_revenue": q6_filtered_revenue,
-        "a2_conditional_counts": a2_conditional_counts,
-        "o2_pagination": o2_pagination,
+        # --- never driver-checked through r3 (VERDICT r3 ask #1) ---
+        "kg_mention_freqs": kg_mention_freqs,
+        "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
+        "kg_pipeline_edges_domain_filtered": kg_pipeline_edges_domain_filtered,
+        "kg_rejections": kg_rejections,
+        "st1_runner_resume_edges": st1_runner_resume_edges,
+        "st5_reset_rebuild": st5_reset_rebuild,
+        "s2_merge_upsert": s2_merge_upsert,
+        "s3_full_replace": s3_full_replace,
+        "s6_export_roundtrip": s6_export_roundtrip,
+        "s7_delete_where": s7_delete_where,
+        "s8_lineage_partitions": s8_lineage_partitions,
+        "p1_standard_projection": p1_standard_projection,
+        "p3_domain_filter": p3_domain_filter,
+        "a5_atc7_summary": a5_atc7_summary,
+        "j8_audit_stats": j8_audit_stats,
+        "o1_work_queue": o1_work_queue,
+        "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
+        # --- driver-green r2, rotated out of the r3 window ---
+        "p5_confidence_gate": p5_confidence_gate,
+        "j4_checkpoint_antijoin": j4_checkpoint_antijoin,
+        # --- KG / dedup / ANN / text / CC core (driver-green r3) ---
+        "kg_pipeline_edges": kg_pipeline_edges,
+        "s1_csv_import": s1_csv_import,
+        "s1_premapped_ids": s1_premapped_ids,
+        "j5_atc7_derivation": j5_atc7_derivation,
         "dedup_exact": dedup_exact,
         "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_lsh_pairs": dedup_lsh_pairs,
@@ -1061,35 +1081,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "ann_knn_join": ann_knn_join,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
+        "ann_knn_join_qsliced": ann_knn_join_qsliced,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_recall": ann_ivf_recall,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_quality_metrics": text_quality_metrics,
         "text_lang_id": text_lang_id,
         "cc_components": cc_components,
-        "kg_pipeline_edges": kg_pipeline_edges,
-        "s1_csv_import": s1_csv_import,
-        "s1_premapped_ids": s1_premapped_ids,
-        "j5_atc7_derivation": j5_atc7_derivation,
-        "p5_confidence_gate": p5_confidence_gate,
-        "j4_checkpoint_antijoin": j4_checkpoint_antijoin,
-        "s2_merge_upsert": s2_merge_upsert,
-        "s3_full_replace": s3_full_replace,
-        "s7_delete_where": s7_delete_where,
-        "p3_domain_filter": p3_domain_filter,
-        "a5_atc7_summary": a5_atc7_summary,
-        "kg_mention_freqs": kg_mention_freqs,
-        "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
-        "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
-        "kg_pipeline_edges_domain_filtered": kg_pipeline_edges_domain_filtered,
-        "kg_rejections": kg_rejections,
-        "p1_standard_projection": p1_standard_projection,
-        "s6_export_roundtrip": s6_export_roundtrip,
-        "j8_audit_stats": j8_audit_stats,
-        "o1_work_queue": o1_work_queue,
-        "s8_lineage_partitions": s8_lineage_partitions,
-        "st5_reset_rebuild": st5_reset_rebuild,
-        "st1_runner_resume_edges": st1_runner_resume_edges,
+        # --- representative relational slice (driver-green r2+r3) ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "j1_customers_without_orders": j1_customers_without_orders,
+        "j2_nation_revenue": j2_nation_revenue,
+        "j10_asof_join": j10_asof_join,
+        "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
+        "w5_sessionize": w5_sessionize,
+        "a7_status_rollup": a7_status_rollup,
+        "a12_cube_counts": a12_cube_counts,
+        "q6_filtered_revenue": q6_filtered_revenue,
+        # ---------------- position >50: long-stable, mirror-covered ----
+        "f_scalar_pack": f_scalar_pack,
+        "o2_pagination": o2_pagination,
+        "q3_segment_revenue_topn": q3_segment_revenue_topn,
+        "j4_order_lineitem_counts": j4_order_lineitem_counts,
+        "j7_parts_in_lineitem": j7_parts_in_lineitem,
+        "u1_two_path_nations": u1_two_path_nations,
+        "a3_priority_stats": a3_priority_stats,
+        "a4_nation_segments": a4_nation_segments,
+        "a6_distinct_status": a6_distinct_status,
+        "w2_event_sequence": w2_event_sequence,
+        "w3_lag_delta": w3_lag_delta,
+        "w4_rolling_sum": w4_rolling_sum,
+        "a11_rollup_counts": a11_rollup_counts,
+        "q4_priority_with_late_ship": q4_priority_with_late_ship,
+        "f_sample_hash": f_sample_hash,
+        "f_width_bucket_hist": f_width_bucket_hist,
+        "f_levenshtein": f_levenshtein,
+        "o3_top20_orders": o3_top20_orders,
+        "p6_regex_extract_events": p6_regex_extract_events,
+        "p2_class_exclusion_filter": p2_class_exclusion_filter,
+        "a2_conditional_counts": a2_conditional_counts,
     }
 
 
@@ -1539,6 +1569,15 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings e ON e.vec_id >= 20
               WHERE q.vec_id < 20) WHERE rank <= 5""",
         "ann_knn_join_shuffled": """
+            SELECT query_id, vec_id, rank, cosine_bp FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                                e.vec_id ASC) AS rank,
+                     CAST(ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) * 10000) AS BIGINT) AS cosine_bp
+              FROM embeddings q JOIN embeddings e ON e.vec_id >= 20
+              WHERE q.vec_id < 20) WHERE rank <= 5""",
+        "ann_knn_join_qsliced": """
             SELECT query_id, vec_id, rank, cosine_bp FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
                      ROW_NUMBER() OVER (PARTITION BY q.vec_id

@@ -62,11 +62,20 @@ def main() -> None:
     # warm the JVM/python-worker pools once (untimed)
     force(qmap["q1_pricing_summary"](spark, sf_dir))
 
+    # Noise discipline (r3 verdict ask #2): this VM has documented 3-10x
+    # multi-minute slow windows, so a single-shot timing is uninterpretable.
+    # Per query: one untimed warm pass (page cache + codegen), then
+    # min-of-N timed passes — same inner-min rule bench_scaling.py uses.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qmap[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        force(qmap[name](spark, sf_dir))  # warm, untimed
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            force(qmap[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     work = tempfile.mkdtemp(prefix="kg_bench_")
     try:
@@ -99,10 +108,17 @@ def main() -> None:
         (F.col("id") - F.col("id") % 50).cast("long").alias("dst"),
     )
     cc_edges = hub.union(rest).localCheckpoint(eager=True)  # input untimed
+    # CC runs are long enough to amortize per-job noise; min-of-2 (no
+    # separate warm pass — the first timed run doubles as it) keeps the
+    # bench under budget while still rejecting a single bad window.
+    cc_reps = int(os.environ.get("SPARK_GRAFT_BENCH_CC_REPEATS", "2"))
     cc_stats: dict = {}
-    t0 = time.perf_counter()
-    force(connected_components(cc_edges, stats=cc_stats))
-    timings["cc_components_1m"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(cc_reps):
+        t0 = time.perf_counter()
+        force(connected_components(cc_edges, stats=cc_stats))
+        best = min(best, time.perf_counter() - t0)
+    timings["cc_components_1m"] = round(best, 3)
 
     # 10^7 edges (round-2 verdict ask #7): 2M-degree hub + 50-node chains —
     # an order-of-magnitude scale-up evidencing the same round count
@@ -116,9 +132,12 @@ def main() -> None:
     )
     cc10_edges = hub10.union(rest10).localCheckpoint(eager=True)
     cc10_stats: dict = {}
-    t0 = time.perf_counter()
-    force(connected_components(cc10_edges, stats=cc10_stats))
-    timings["cc_components_10m"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(cc_reps):
+        t0 = time.perf_counter()
+        force(connected_components(cc10_edges, stats=cc10_stats))
+        best = min(best, time.perf_counter() - t0)
+    timings["cc_components_10m"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {

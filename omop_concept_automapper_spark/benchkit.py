@@ -175,7 +175,13 @@ def run_kg_bench(
         nodes = build_nodes(accepted)
         nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
 
-    t_canon, _ = timed(finalize)
+    # min-of-repeats for the finalize tail too: it is only a few seconds of
+    # O(distinct-mentions) work, which makes it the timing MOST exposed to a
+    # host-noise window (r3's one-shot canonicalize read 6x its steady state)
+    t_canon = float("inf")
+    for _ in range(repeats):
+        t2, _ = timed(finalize)
+        t_canon = min(t_canon, t2)
 
     edges_n = spark.read.parquet(os.path.join(out_dir, "edges")).count()
     return {

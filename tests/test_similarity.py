@@ -128,8 +128,18 @@ def test_knn_join_shuffled_equals_broadcast_variant(spark):
 
     assert rows(shuf) == rows(base)
     # a degenerate shard count must still be exact
-    shuf1 = knn_join_shuffled(spark, qdf, emb.where("vec_id >= 20"), k=5, n_shards=1)
+    shuf1 = knn_join_shuffled(
+        spark, qdf, emb.where("vec_id >= 20"), k=5, n_shards=1, n_qslices=1
+    )
     assert rows(shuf1) == rows(base)
+    # query-slicing (r3 verdict ask #3): a multi-slice grid bounds per-task
+    # query memory at O(|Q|/n_qslices) and must stay bitwise identical
+    for n_q in (2, 5):
+        sliced = knn_join_shuffled(
+            spark, qdf, emb.where("vec_id >= 20"), k=5,
+            n_shards=3, n_qslices=n_q,
+        )
+        assert rows(sliced) == rows(base)
 
 
 def test_ivf_sampled_fit_full_probe_still_exact(spark, emb):
