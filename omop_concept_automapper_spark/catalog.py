@@ -101,6 +101,28 @@ class Table:
                 snaps.append(Snapshot(**json.loads(f.read())))
         return snaps
 
+    def applied_stream_batch_ids(self) -> set[int]:
+        """Every streaming microbatch id ever applied to this table — the
+        exactly-once replay guard's source of truth.  Reads BOTH the
+        per-append ``stream_batch_id`` markers and the folded
+        ``stream_batch_ids`` lists that :meth:`compact` /
+        :meth:`expire_snapshots` carry forward, so maintenance can never
+        erase a marker and let a foreachBatch replay double-append."""
+        if not self.exists():
+            return set()
+        return self._stream_batch_ids(self.history())
+
+    @staticmethod
+    def _stream_batch_ids(snaps: list[Snapshot]) -> set[int]:
+        ids: set[int] = set()
+        for s in snaps:
+            m = s.metrics or {}
+            if m.get("stream_batch_id") is not None:
+                ids.add(int(m["stream_batch_id"]))
+            for b in m.get("stream_batch_ids", []):
+                ids.add(int(b))
+        return ids
+
     # -------------------------------------------------------------- read
     def read(self, snapshot_id: str | None = None) -> DataFrame:
         snap = self.snapshot(snapshot_id)
@@ -281,7 +303,8 @@ class Table:
         not O(table).  At 10^9 edges an incremental run no longer rewrites
         the whole table (the round-1 scale-killer)."""
         spec = self.bucket_spec()
-        if spec is None and bucket_by is not None:
+        newly_bucketed = spec is None and bucket_by is not None
+        if newly_bucketed:
             spec = self._set_bucket_spec(*bucket_by)
         if spec is None:
             if not self.exists():
@@ -291,6 +314,17 @@ class Table:
                 df.select(*keys).distinct(), on=keys, how="left_anti"
             )
             merged = kept.unionByName(df)
+            return self._commit_rewrite(merged, "merge", partition_by, metrics)
+        if newly_bucketed and self.exists():
+            # one-time conversion of a table born non-bucketed: the prior
+            # snapshot has no bucket map, so the bucket-scoped merge below
+            # would silently drop every pre-existing row — fold the whole
+            # table through the bucket writer once; later merges are scoped
+            current = self.read()
+            kept = current.join(
+                df.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = kept.unionByName(df.select(*current.columns))
             return self._commit_rewrite(merged, "merge", partition_by, metrics)
         return self._merge_bucketed(df, keys, spec, metrics)
 
@@ -391,9 +425,14 @@ class Table:
         its small files — per microbatch; compaction folds them so reads
         stop paying per-append file-listing and small-file overhead.
         Content is unchanged (tested); bucketed tables re-bucket through
-        the same spec."""
+        the same spec.  Applied streaming-batch markers from the whole
+        history are folded into the new snapshot's ``stream_batch_ids`` so
+        a later expire_snapshots cannot erase the replay guard."""
+        carried = sorted(self._stream_batch_ids(self.history()))
+        extra = {"stream_batch_ids": carried} if carried else {}
         return self._commit_rewrite(
-            self.read(), "compact", None, {**(metrics or {}), "compacted": True}
+            self.read(), "compact", None,
+            {**(metrics or {}), "compacted": True, **extra},
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -414,10 +453,34 @@ class Table:
                 live.update(json.loads(f.read())["live_dirs"])
         expired = [n for n in names if n not in keep]
         doomed: set[str] = set()
+        expired_snaps: list[Snapshot] = []
         for name in expired:
             with open(os.path.join(mdir, name)) as f:
-                doomed.update(json.loads(f.read())["live_dirs"])
+                s = Snapshot(**json.loads(f.read()))
+            expired_snaps.append(s)
+            doomed.update(s.live_dirs)
         doomed -= live
+        # expiring manifests must not erase streaming replay guards: fold
+        # any applied stream_batch_id recorded ONLY in expired manifests
+        # into the current manifest's stream_batch_ids BEFORE deleting
+        # (fold first — a crash between fold and delete merely duplicates
+        # markers, which the set-union read makes harmless)
+        kept_snaps = [
+            Snapshot(**json.loads(open(os.path.join(mdir, n)).read()))
+            for n in keep
+        ]
+        orphan_ids = self._stream_batch_ids(expired_snaps) - self._stream_batch_ids(
+            kept_snaps
+        )
+        if orphan_ids and current is not None:
+            cur = self.snapshot()
+            merged = sorted(
+                orphan_ids | set(cur.metrics.get("stream_batch_ids", []))
+            )
+            cur.metrics = {**cur.metrics, "stream_batch_ids": merged}
+            _atomic_write_text(
+                os.path.join(mdir, f"{current}.json"), cur.to_json()
+            )
         # delete manifests first: a crash mid-way leaves orphan data dirs
         # (safe, re-collectable) rather than manifests pointing at nothing
         for name in expired:

@@ -239,7 +239,15 @@ def ivf_topk(
     EXACT brute force regardless of where the centroids landed (tested; the
     ``ann_ivf_topk`` gate runs full-probe so its oracle is unaffected by
     the quantizer fit).  The approximate path's recall is gated separately
-    (``ivf_recall_report``).  Deterministic: fixed seed, tie-break
+    (``ivf_recall_report``).  Determinism: full-probe results are EXACT
+    (partition/layout independent — the gate's bar).  On the approximate
+    path the fit sample is selected by a partition-independent rule —
+    ``pmod(xxhash64(vec_id), m) == 0``, never ``DataFrame.sample`` (whose
+    seeded output varies with partition layout; r3 advice) — but Spark
+    ML's k-means|| init is itself layout-sensitive, so approximate-path
+    results are only deterministic for a fixed layout; the
+    layout-independent deterministic quantizer lives in
+    ``ivf_recall_report`` (integer_kmeans).  Tie-break
     (cosine desc, vec_id asc).
     """
     from pyspark.ml.clustering import KMeans
@@ -251,8 +259,9 @@ def ivf_topk(
     n_rows = feats.count()
     fit_input = feats
     if n_rows > fit_sample_rows:
-        fit_input = feats.sample(
-            fraction=min(1.0, fit_sample_rows / n_rows), seed=42
+        mod = -(-n_rows // fit_sample_rows)  # ceil: expected <= sample rows
+        fit_input = feats.where(
+            F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
         )
     model = KMeans(k=n_centroids, seed=42, featuresCol="features").fit(fit_input)
     assigned = model.transform(feats).select(

@@ -1,8 +1,8 @@
 """Graph stage: canonicalization + (subj, pred, obj) triple materialization.
 
 * Accepted mappings (confidence >= threshold, reference auto_mapper.py:165-167)
-  become edges ``(subj="m:<mention_id>", pred, obj=concept_id)`` with audit
-  columns mirroring the reference's ``auto_mapping_audit``
+  become edges ``(subj="m:<mention_id>:<mention_id2>", pred, obj=concept_id)``
+  with audit columns mirroring the reference's ``auto_mapping_audit``
   (seed.sql:100-115): confidence, mapping_method, target_domains.
   pred = ``maps-to-value`` for drug mentions linked through the ATC7 value
   filter, ``maps-to`` otherwise.
@@ -22,8 +22,23 @@ nodes (a single-long encoding would silently fuse their components — the
 mapping back to mention ids is carried by join, never by decoding, so
 hash-bit loss in the shift is irrelevant.
 
-Edge subjects likewise carry both halves: ``subj = "m:<id>:<id2>"`` — subj
-is the graph's entity identity and must be 128-bit collision-safe too.
+Key-width discipline (graph format v3, r3 verdict ask #6): every shuffle,
+merge and join key in the graph stage is a PAIR OF LONGS — edges carry
+``(subj_h1, subj_h2)`` = the 128-bit mention key, nodes carry
+``(node_h1, node_h2)`` = the CC node encoding plus ``(comp_h1, comp_h2)``
+= the CC component label.  The human-readable strings (``subj = "m:<id>:
+<id2>"``, ``node_id``, ``canonical_id``) are rendered in the same select
+but ride along as PAYLOAD — nothing hashes, sorts or joins on them.  The
+stored component label is what makes delta-scoped incremental
+canonicalization possible (plans/runner.py stage_graph): the runner can
+find every component touched by a batch of new links with two long-keyed
+semi-joins instead of re-running CC over the whole graph.
+
+``GRAPH_FORMAT`` is recorded in every graph-table snapshot; a warehouse
+written under a different format is fully rebuilt, never merged — merging
+across formats would keep every old-format row alongside its new-format
+twin (the r3-advice silent-duplication hazard when v1 ``m:<id>`` subjects
+met v2 ``m:<id>:<id2>`` ones).
 """
 
 from __future__ import annotations
@@ -35,6 +50,11 @@ from omop_concept_automapper_spark.operators.connected_components import (
     connected_components,
 )
 
+# v1: subj = "m:<mention_id>" (64-bit); v2: subj = "m:<id>:<id2>" strings as
+# merge keys; v3: (subj_h1, subj_h2)/(node_h1, node_h2) long keys + stored
+# component labels, strings as payload only.
+GRAPH_FORMAT = 3
+
 
 def accepted_mappings(link_results: DataFrame, threshold: int = 8) -> DataFrame:
     return link_results.where(
@@ -43,7 +63,7 @@ def accepted_mappings(link_results: DataFrame, threshold: int = 8) -> DataFrame:
 
 
 def _subj_col():
-    """128-bit collision-safe subject id: both halves of the mention key."""
+    """Rendered 128-bit subject id (payload column, never a key)."""
     return F.concat(
         F.lit("m:"),
         F.col("mention_id").cast("string"),
@@ -52,11 +72,27 @@ def _subj_col():
     )
 
 
+def _mention_node_col():
+    return F.struct(
+        F.expr("shiftleft(mention_id, 1) + 1").alias("n1"),
+        F.col("mention_id2").alias("n2"),
+    )
+
+
+def _concept_node_col():
+    return F.struct(
+        F.expr("shiftleft(cast(concept_id as long), 1)").alias("n1"),
+        F.lit(0).cast("long").alias("n2"),
+    )
+
+
 def build_edges(accepted: DataFrame, target_domains: list[str] | None) -> DataFrame:
     domains = F.array(*[F.lit(d) for d in (target_domains or [])]).cast(
         "array<string>"
     )
     return accepted.select(
+        F.col("mention_id").alias("subj_h1"),
+        F.col("mention_id2").alias("subj_h2"),
         _subj_col().alias("subj"),
         F.when(
             F.col("is_drug") & (F.col("atc7") != ""), F.lit("maps-to-value")
@@ -71,15 +107,15 @@ def build_edges(accepted: DataFrame, target_domains: list[str] | None) -> DataFr
 
 
 def build_nodes(accepted: DataFrame) -> DataFrame:
-    """Canonicalized node table over mention-entities + concepts."""
-    mention_node = F.struct(
-        F.expr("shiftleft(mention_id, 1) + 1").alias("n1"),
-        F.col("mention_id2").alias("n2"),
-    )
-    concept_node = F.struct(
-        F.expr("shiftleft(cast(concept_id as long), 1)").alias("n1"),
-        F.lit(0).cast("long").alias("n2"),
-    )
+    """Canonicalized node table over mention-entities + concepts.
+
+    ``accepted`` needs only (mention_id, mention_id2, mention_text,
+    concept_id) — the projection the delta-scoped incremental path feeds it
+    with; the full path passes whole link rows and the extra columns are
+    ignored.
+    """
+    mention_node = _mention_node_col()
+    concept_node = _concept_node_col()
     cc_edges = accepted.select(
         mention_node.alias("src"), concept_node.alias("dst")
     )
@@ -102,6 +138,10 @@ def build_nodes(accepted: DataFrame) -> DataFrame:
     mention_nodes = (
         mention_labels.join(canonical, "component")
         .select(
+            F.col("node.n1").alias("node_h1"),
+            F.col("node.n2").alias("node_h2"),
+            F.col("component.n1").alias("comp_h1"),
+            F.col("component.n2").alias("comp_h2"),
             _subj_col().alias("node_id"),
             F.lit("mention_entity").alias("node_type"),
             F.concat(
@@ -115,11 +155,15 @@ def build_nodes(accepted: DataFrame) -> DataFrame:
     )
     concept_labels = labels.join(concept_map, "node")
     concept_nodes = concept_labels.select(
+        F.col("node.n1").alias("node_h1"),
+        F.col("node.n2").alias("node_h2"),
+        F.col("component.n1").alias("comp_h1"),
+        F.col("component.n2").alias("comp_h2"),
         F.concat(F.lit("c:"), F.col("concept_id").cast("string")).alias("node_id"),
         F.lit("concept").alias("node_type"),
         F.concat(F.lit("c:"), F.col("concept_id").cast("string")).alias(
             "canonical_id"
         ),
         F.col("concept_id").cast("string").alias("label"),
-    ).distinct()
+    )
     return mention_nodes.unionByName(concept_nodes)

@@ -61,18 +61,28 @@ def stream_into_kg(
     relationship: DataFrame,
     ancestor: DataFrame,
     lexicon: list[dict],
+    compact_every: int = 8,
 ) -> None:
     """Continuously fold newly-landed transcript files into the KG.
 
     ``foreachBatch`` + ``Trigger.AvailableNow``: each microbatch of new
     conversations runs ``Pipeline.run_incremental`` (append occurrences,
-    rebuild mention dim, relink only new mentions, bucket-scoped graph
-    merge).  Exactly-once under replay: the occurrence append records the
-    microbatch id in its snapshot metrics and a replayed batch skips the
-    append while still driving the resumable downstream stages to
+    delta-merge the mention dim, relink only new mentions, bucket-scoped
+    graph merge).  Exactly-once under replay: the occurrence append records
+    the microbatch id in its snapshot metrics and a replayed batch skips
+    the append while still driving the resumable downstream stages to
     completion.  Invariant (tests/test_sources_streaming.py): streaming
     batches in produces exactly the from-scratch KG over the union, and a
     re-trigger with no new files changes nothing.
+
+    Maintenance cadence: every ``compact_every`` applied microbatches the
+    append-heavy ``mention_occurrences`` table is compacted and its old
+    snapshots expired, so file count stays bounded instead of growing one
+    data dir per batch forever (Iceberg's rewrite_data_files +
+    expire_snapshots housekeeping).  Safe under replay: compaction folds
+    applied stream_batch_id markers forward into the surviving snapshot
+    (catalog.Table.compact / expire_snapshots), so the exactly-once guard
+    outlives maintenance.  ``compact_every <= 0`` disables it.
     """
 
     def fold(batch_df, batch_id: int) -> None:
@@ -82,6 +92,14 @@ def stream_into_kg(
             batch_df, concept, relationship, ancestor, lexicon,
             batch_id=int(batch_id),
         )
+        occ_tbl = pipeline.wh.table("mention_occurrences")
+        if (
+            compact_every > 0
+            and occ_tbl.exists()
+            and len(occ_tbl.applied_stream_batch_ids()) % compact_every == 0
+        ):
+            occ_tbl.compact()
+            occ_tbl.expire_snapshots(keep_last=1)
 
     query = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)

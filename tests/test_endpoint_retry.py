@@ -169,3 +169,32 @@ def test_injected_fns_flow_through_spark_path(spark):
     assert list(ok["mention_text"]) == ["acute bronchitis"]
     assert list(bad["mention_text"]) == ["zz-unlinkable"]
     assert "poison" in bad.iloc[0]["error"]
+
+
+def test_hard_outage_short_circuits_per_row_fallback():
+    """r3 advice: on a hard endpoint outage the per-row fallback must stop
+    hammering the dead endpoint after a few consecutive failures and
+    quarantine the remainder immediately — one 65k-row Arrow batch must
+    never stall a task for rows x retries x sleep."""
+    calls = {"n": 0}
+
+    def dead(_texts):
+        calls["n"] += 1
+        raise ConnectionError("endpoint gone")
+
+    n_rows = 40
+    mentions = pd.DataFrame(
+        {
+            "mention_id": list(range(n_rows)),
+            "mention_text": [f"acute bronchitis {i}" for i in range(n_rows)],
+            "is_drug": [False] * n_rows,
+            "atc7": [""] * n_rows,
+        }
+    )
+    out = link_batch(mentions, _index(), embed_fn=dead, retry_policy=_NO_SLEEP)
+    assert len(out) == n_rows
+    assert out["error"].notnull().all()  # everything quarantined, job alive
+    # 1 batch call + 5 consecutive per-row failures, each with the 3-attempt
+    # policy; the other 35 rows never touch the endpoint
+    assert calls["n"] == (1 + 5) * 3
+    assert sum("short-circuit" in e for e in out["error"]) == n_rows - 5

@@ -285,7 +285,7 @@ def test_file_index_exact_equality(spark, tmp_path):
 def test_file_index_cache_keys_on_content_not_mtime(spark, tmp_path):
     """Object-store safety: the per-process index cache must key on manifest
     CONTENT — rewriting the manifest with identical bytes (new mtime) must
-    NOT reload; a rebuild (new build_id in the manifest) must."""
+    NOT reload; a content change (new content_key in the manifest) must."""
     import json
     import os
 
@@ -316,12 +316,23 @@ def test_file_index_cache_keys_on_content_not_mtime(spark, tmp_path):
         f.write(content)
     assert load_vocab_index_files(idx_path) is idx1
 
-    # content change (what a rebuild's fresh build_id does) -> reload
+    # content change (a rebuild over DIFFERENT data) -> reload
     m = json.loads(content)
-    m["build_id"] = "0" * 32
+    m["content_key"] = "0:0"
     with open(manifest_path, "w") as f:
         f.write(json.dumps(m, sort_keys=True))
     assert load_vocab_index_files(idx_path) is not idx1
+
+    # content-identical rebuild (r3 verdict ask #5): building again over the
+    # same data must be a manifest-level NO-OP — byte-identical manifest,
+    # and an executor's cached index stays valid (cache HIT, no reload)
+    with open(manifest_path, "w") as f:
+        f.write(content)
+    idx2 = load_vocab_index_files(idx_path)
+    build_vocab_index_files(vocab, idx_path, n_shards=2, block_rows=32)
+    with open(manifest_path) as f:
+        assert f.read() == content
+    assert load_vocab_index_files(idx_path) is idx2
 
 
 def test_stage_links_never_collects_vocab_to_driver(spark, tmp_path, monkeypatch):

@@ -239,3 +239,73 @@ def test_lsh_bucketed_topk_arrow_equals_expr(spark):
 
     assert rows(lsh_bucketed_topk(emb, k=3, n_planes=6, bucketing="arrow")) == \
         rows(lsh_bucketed_topk(emb, k=3, n_planes=6, bucketing="expr"))
+
+
+def test_ivf_sampled_fit_beyond_sample_size_still_exact_full_probe(spark):
+    """r3 verdict ask #8: exercise the SAMPLED quantizer fit with
+    n_rows >> fit_sample_rows (the small gate fixtures never trigger
+    sampling).  120k integer-valued vectors, fit on <=2k of them: with
+    n_probe == n_centroids the result must STILL be bitwise-exact vs a
+    driver-side numpy oracle — wherever the sampled centroids landed."""
+    from omop_concept_automapper_spark.operators.similarity import ivf_topk
+
+    n, dim, k = 120_000, 8, 5
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(7))
+                .cast("double")
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    query_ids = [0, 1, 2]
+    got = ivf_topk(
+        spark, emb, query_ids, k=k, n_centroids=8, n_probe=8,
+        fit_sample_rows=2_000,
+    )
+    got_rows = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine_bp"])
+        for r in got.collect()
+    }
+
+    import numpy as np
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mn = M / norms[:, None]
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    for q in query_ids:
+        sims_bp = np.round(Mn @ Mn[q] * 10000).astype(np.int64)
+        mask = ids != q
+        order = np.lexsort((ids[mask], -sims_bp[mask]))
+        top = [(int(ids[mask][j]), int(sims_bp[mask][j])) for j in order[:k]]
+        for rank, (vid, bp) in enumerate(top, start=1):
+            assert got_rows[(q, rank)] == (vid, bp)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_hyperplane_projections_clear_of_zero(spark, sf_dir):
+    """r3 advice guard: the Arrow matmul and the oracle's left-to-right
+    add-chain may disagree on the SIGN of a projection only within ~1 ulp
+    of zero.  Assert every projection the gates evaluate keeps a margin
+    many orders above summation error, so a bucket bit can never flip
+    between the two kernels on these fixtures."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        planes_for_corpus,
+        rademacher_planes,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.where("vec_id < 300").select("embedding").collect()
+    X = np.asarray([np.asarray(r["embedding"], np.float64) for r in rows])
+    dim = X.shape[1]
+    n_corpus = planes_for_corpus(emb.count())
+    for n_planes in {6, n_corpus}:
+        P = rademacher_planes(dim, n_planes, seed=42).astype(np.float64)
+        margin = np.abs(X @ P.T).min()
+        # summation error is ~1e-13 at these magnitudes; demand 6 orders
+        assert margin > 1e-7, (sf_dir, n_planes, margin)

@@ -272,3 +272,84 @@ def test_run_incremental_batch_id_replay_is_exactly_once(spark, tmp_path):
         for r in wh.table("mentions").read().collect()
     }
     assert freqs2 == freqs1
+
+
+def test_stream_into_kg_auto_compacts_occurrences(spark, tmp_path):
+    """r3 verdict ask #7: the streaming fold must keep the append-heavy
+    occurrences table's file count bounded — every ``compact_every``
+    applied microbatches it is compacted and old snapshots expired, with
+    content identical and the exactly-once replay guard surviving."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.runner import (
+        Pipeline,
+        PipelineConfig,
+    )
+    from omop_concept_automapper_spark.streaming.ingest import stream_into_kg
+
+    lexicon = build_lexicon()
+    all_convs = transcripts_dataframe(spark, n_conversations=24)
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(spark, str(tmp_path / "wh_stream"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    bounds = ["conv-000000", "conv-000006", "conv-000012", "conv-000018", None]
+    for i in range(4):  # 4 microbatches = 2 x compact_every
+        sel = F.col("conv_id") >= bounds[i]
+        if bounds[i + 1] is not None:
+            sel = sel & (F.col("conv_id") < bounds[i + 1])
+        all_convs.where(sel).coalesce(1).write.mode("append").parquet(landing)
+        stream_into_kg(
+            spark, landing, str(tmp_path / "ckpt"), pipe,
+            *vocab_dataframes(spark), lexicon, compact_every=2,
+        )
+    occ_tbl = wh.table("mention_occurrences")
+    # bounded: the 4th batch triggered the second compaction+expire, so the
+    # live snapshot is a single compacted data dir, not one per microbatch
+    assert len(occ_tbl.snapshot().live_dirs) == 1
+    assert occ_tbl.applied_stream_batch_ids() == {0, 1, 2, 3}
+
+    full = Pipeline(
+        spark, Warehouse(spark, str(tmp_path / "wh_full")), PipelineConfig()
+    ).run(all_convs, *vocab_dataframes(spark), lexicon)
+    occ = {
+        (r["conv_id"], r["turn_idx"], r["mention_text"])
+        for r in occ_tbl.read().collect()
+    }
+    occ_full = {
+        (r["conv_id"], r["turn_idx"], r["mention_text"])
+        for r in Warehouse(spark, str(tmp_path / "wh_full"))
+        .table("mention_occurrences").read().collect()
+    }
+    assert occ == occ_full
+    edge_set = lambda df: {
+        (r["subj"], r["pred"], r["obj"]) for r in df.collect()
+    }
+    assert edge_set(wh.table("edges").read()) == edge_set(full["edges"])
+
+
+def test_replay_after_maintenance_is_exactly_once(spark, tmp_path):
+    """A foreachBatch replay AFTER compact+expire_snapshots must still skip
+    the already-applied append (r3 advice: maintenance used to erase the
+    stream_batch_id markers and let the replay double-append)."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.runner import (
+        Pipeline,
+        PipelineConfig,
+    )
+
+    lexicon = build_lexicon()
+    batch = transcripts_dataframe(spark, n_conversations=8)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    pipe.run_incremental(batch, *vocab_dataframes(spark), lexicon, batch_id=0)
+    occ_tbl = wh.table("mention_occurrences")
+    n1 = occ_tbl.read().count()
+    occ_tbl.compact()
+    occ_tbl.expire_snapshots(keep_last=1)
+    pipe.run_incremental(batch, *vocab_dataframes(spark), lexicon, batch_id=0)
+    assert occ_tbl.read().count() == n1
