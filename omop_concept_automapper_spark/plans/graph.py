@@ -113,7 +113,86 @@ def build_nodes(accepted: DataFrame) -> DataFrame:
     concept_id) — the projection the delta-scoped incremental path feeds it
     with; the full path passes whole link rows and the extra columns are
     ignored.
+
+    Plan selection: when every mention key maps to a single concept — true
+    by construction for every pipeline caller, since the links table holds
+    one row per 128-bit subject (last-write-wins merge) — the undirected
+    graph is a disjoint union of stars centered on concepts, so components
+    and canonical labels collapse to ONE groupBy(concept_id) + ONE join
+    (``_build_nodes_star``): 2 shuffles total instead of CC's
+    O(log n) iterated rounds.  The outputs are defined identically
+    (component = min node in component, canonical = min 128-bit mention
+    key in component) and pinned bitwise-equal in
+    tests/test_pipeline_parity.py.  Any input where a mention maps to
+    multiple concepts falls back to the general iterative CC path
+    (``_build_nodes_cc``) — the degree probe is one map-side-combined
+    aggregate.
     """
+    acc = accepted.select(
+        "mention_id", "mention_id2", "mention_text", "concept_id"
+    )
+    multi = (
+        acc.groupBy("mention_id", "mention_id2")
+        .agg(F.count_distinct("concept_id").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    if multi.isEmpty():
+        return _build_nodes_star(acc)
+    return _build_nodes_cc(acc)
+
+
+def _build_nodes_star(acc: DataFrame) -> DataFrame:
+    """Star-graph specialization: component(mention m) = component(its
+    concept c) = min over {concept_node(c)} ∪ {mention_node(m') : m' maps
+    to c}; canonical = min (mention_id, mention_id2) among c's mentions."""
+    mention_node = _mention_node_col()
+    concept_node = _concept_node_col()
+    acc = acc.distinct()
+    per_c = acc.groupBy("concept_id").agg(
+        F.min(mention_node).alias("min_mn"),
+        F.min(F.struct("mention_id", "mention_id2")).alias("cm"),
+    )
+    comp = F.when(
+        F.col("min_mn") < concept_node, F.col("min_mn")
+    ).otherwise(concept_node)
+    per_c = per_c.select(
+        "concept_id",
+        comp.alias("component"),
+        "cm",
+    )
+    mention_nodes = acc.join(per_c, "concept_id").select(
+        mention_node.getField("n1").alias("node_h1"),
+        mention_node.getField("n2").alias("node_h2"),
+        F.col("component.n1").alias("comp_h1"),
+        F.col("component.n2").alias("comp_h2"),
+        _subj_col().alias("node_id"),
+        F.lit("mention_entity").alias("node_type"),
+        F.concat(
+            F.lit("m:"),
+            F.col("cm.mention_id").cast("string"),
+            F.lit(":"),
+            F.col("cm.mention_id2").cast("string"),
+        ).alias("canonical_id"),
+        F.col("mention_text").alias("label"),
+    )
+    concept_nodes = per_c.select(
+        concept_node.getField("n1").alias("node_h1"),
+        concept_node.getField("n2").alias("node_h2"),
+        F.col("component.n1").alias("comp_h1"),
+        F.col("component.n2").alias("comp_h2"),
+        F.concat(F.lit("c:"), F.col("concept_id").cast("string")).alias("node_id"),
+        F.lit("concept").alias("node_type"),
+        F.concat(F.lit("c:"), F.col("concept_id").cast("string")).alias(
+            "canonical_id"
+        ),
+        F.col("concept_id").cast("string").alias("label"),
+    )
+    return mention_nodes.unionByName(concept_nodes)
+
+
+def _build_nodes_cc(accepted: DataFrame) -> DataFrame:
+    """General path: iterative large-star/small-star CC over the bipartite
+    mention-concept graph (handles mentions mapping to several concepts)."""
     mention_node = _mention_node_col()
     concept_node = _concept_node_col()
     cc_edges = accepted.select(

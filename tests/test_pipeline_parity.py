@@ -138,3 +138,40 @@ def test_vocab_embeddings_excludes_nonstandard(pipeline_outputs, golden):
     names = {r["concept_name"] for r in rows}
     assert not any("non standard" in n for n in names)
     assert not any("box" in n or "marketed" in n for n in names)
+
+
+def test_star_canonicalization_equals_general_cc(pipeline_outputs, spark):
+    """The star-graph canonicalization fast path (one groupBy + one join;
+    taken whenever every mention maps to a single concept, which the links
+    table guarantees by construction) must be BITWISE identical to the
+    general iterative-CC path — components, canonical ids, and stored
+    component labels included.  A synthetic multi-mapping input must fall
+    back to CC and still agree with it."""
+    from pyspark.sql import functions as F
+
+    from omop_concept_automapper_spark.plans.graph import (
+        _build_nodes_cc,
+        _build_nodes_star,
+        accepted_mappings,
+        build_nodes,
+    )
+
+    _, wh = pipeline_outputs
+    acc = accepted_mappings(wh.table("links").read()).select(
+        "mention_id", "mention_id2", "mention_text", "concept_id"
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(_build_nodes_star(acc)) == rows(_build_nodes_cc(acc))
+    # degree-1 holds -> the dispatcher takes the star path (same rows)
+    assert rows(build_nodes(acc)) == rows(_build_nodes_cc(acc))
+
+    # a mention mapped to TWO concepts: star precondition broken ->
+    # build_nodes must route through CC and match it (the forked mention
+    # fuses two concept stars into one component)
+    forked = acc.unionByName(
+        acc.limit(1).withColumn("concept_id", F.col("concept_id") + 1)
+    )
+    assert rows(build_nodes(forked)) == rows(_build_nodes_cc(forked))
