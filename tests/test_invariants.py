@@ -619,3 +619,54 @@ def test_graph_format_mismatch_forces_full_rebuild(spark, tmp_path):
     fmt = wh.table("edges").snapshot().metrics
     assert fmt.get("graph_format") == 3
     assert fmt.get("graph_format_migrated_from") == 2
+
+
+def test_three_successive_delta_folds_keep_canonical_equality(spark, tmp_path):
+    """Three run_incremental folds in sequence (each taking the delta-
+    scoped dim/graph paths) must end bitwise-equal to one from-scratch run
+    over the union — including canonical node grouping, which the delta
+    path RELABELS per affected component (a later batch can introduce a
+    smaller 128-bit mention key and change an existing component's
+    canonical id)."""
+    lexicon = build_lexicon()
+    all_convs = transcripts_dataframe(spark, n_conversations=N_CONV)
+    cuts = ["conv-000000", "conv-000014", "conv-000027", None]
+    wh = Warehouse(spark, str(tmp_path / "wh_inc"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    for i in range(3):
+        sel = F.col("conv_id") >= cuts[i]
+        if cuts[i + 1] is not None:
+            sel = sel & (F.col("conv_id") < cuts[i + 1])
+        batch = all_convs.where(sel)
+        if i == 0:
+            pipe.run(batch, *vocab_dataframes(spark), lexicon)
+        else:
+            pipe.run_incremental(batch, *vocab_dataframes(spark), lexicon)
+            assert (
+                wh.stage_metrics("mentions")["metrics"]["dim_path"] == "delta"
+            )
+            assert (
+                wh.table("edges").snapshot().metrics.get("delta_scoped")
+                is True
+            )
+
+    full_wh = Warehouse(spark, str(tmp_path / "wh_full"))
+    Pipeline(spark, full_wh, PipelineConfig()).run(
+        all_convs, *vocab_dataframes(spark), lexicon
+    )
+
+    def edge_set(wh_):
+        return {
+            (r["subj"], r["pred"], r["obj"], str(r["confidence"]))
+            for r in wh_.table("edges").read().collect()
+        }
+
+    def node_rows(wh_):
+        return sorted(
+            (r["node_id"], r["node_type"], r["canonical_id"],
+             r["comp_h1"], r["comp_h2"], r["label"])
+            for r in wh_.table("nodes").read().collect()
+        )
+
+    assert edge_set(wh) == edge_set(full_wh)
+    assert node_rows(wh) == node_rows(full_wh)
