@@ -155,11 +155,14 @@ def _build_nodes_star(acc: DataFrame) -> DataFrame:
     comp = F.when(
         F.col("min_mn") < concept_node, F.col("min_mn")
     ).otherwise(concept_node)
+    # both output branches (mention join + concept rows) read per_c; an
+    # eager localCheckpoint materializes the O(concepts)-row aggregate once
+    # so the O(links) scan underneath doesn't run twice
     per_c = per_c.select(
         "concept_id",
         comp.alias("component"),
         "cm",
-    )
+    ).localCheckpoint(eager=True)
     mention_nodes = acc.join(per_c, "concept_id").select(
         mention_node.getField("n1").alias("node_h1"),
         mention_node.getField("n2").alias("node_h2"),
