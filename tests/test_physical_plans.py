@@ -231,3 +231,28 @@ def test_knn_join_shuffled_plan_shape(spark):
     assert "BroadcastExchange" not in plan
     # exchanges: queries-by-shard, index-by-shard, window-by-query_id = 3
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+
+
+def test_star_canonicalization_plan_shape(spark):
+    """The star fast path must stay non-iterative: its plan is one
+    hash-aggregate on concept_id feeding one join — no CC loop artifacts,
+    no driver-side iteration, and a bounded exchange count (the checkpoint
+    of the per-concept aggregate plus the mention-side join)."""
+    import re
+
+    from omop_concept_automapper_spark.plans.graph import _build_nodes_star
+
+    acc = spark.range(200).selectExpr(
+        "id as mention_id",
+        "id + 7 as mention_id2",
+        "concat('t', id % 13) as mention_text",
+        "cast(id % 13 as int) as concept_id",
+    )
+    out = _build_nodes_star(acc)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # non-iterative: the mention branch is agg -> join -> project; allow
+    # the union's second branch its own exchange but nothing beyond
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )

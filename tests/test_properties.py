@@ -90,3 +90,34 @@ def test_salted_agg_equivalence(spark, rows, buckets):
             v if mx is None else max(mx, v),
         )
     assert got == exp
+
+
+@given(
+    links=st.lists(
+        st.tuples(
+            st.integers(-(2**62), 2**62),   # mention_id (can be negative)
+            st.integers(-(2**62), 2**62),   # mention_id2
+            st.integers(1, 12),             # concept_id (small -> shared stars)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),   # degree <= 1 per mention key
+    )
+)
+@settings(**_SETTINGS)
+def test_star_canonicalization_equals_cc_property(spark, links):
+    """The star-graph fast path must equal the general CC path on ANY
+    degree<=1 bipartite input — negative 64-bit hashes, single-mention
+    stars, many mentions sharing one concept, mention node keys below the
+    concept node keys (so the component min lands on either side)."""
+    from omop_concept_automapper_spark.plans.graph import (
+        _build_nodes_cc,
+        _build_nodes_star,
+    )
+
+    df = spark.createDataFrame(
+        [(m1, m2, f"t{m1 % 97}", c) for m1, m2, c in links],
+        "mention_id long, mention_id2 long, mention_text string, concept_id int",
+    )
+    rows = lambda d: sorted(tuple(r) for r in d.collect())
+    assert rows(_build_nodes_star(df)) == rows(_build_nodes_cc(df))
