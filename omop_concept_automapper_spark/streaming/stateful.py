@@ -61,36 +61,118 @@ def _dedup_fn(key, pdfs, state: GroupState):
     return iter(()) if first is None else iter([first])
 
 
+_DEDUP_TTL_STATE = StructType([StructField("last_seen_ms", LongType())])
+
+
+def _make_dedup_ttl_fn(ttl_ms: int):
+    """First-seen dedup with a TTL on the per-key marker.
+
+    Exact forever-dedup keeps one state row per distinct fingerprint —
+    unbounded at 10^12-turn streaming scale.  With a TTL the state is
+    bounded by the distinct keys seen per TTL window: a key idle longer
+    than ``ttl_ms`` is EVICTED via ProcessingTimeTimeout (state actually
+    shrinks), and a duplicate arriving after expiry re-emits — the
+    standard bounded-state approximate-dedup tradeoff.  The staleness
+    check is done in-band against the stored last-seen timestamp, so the
+    re-emit semantics don't depend on when Spark happens to run the
+    eviction callback; sightings REFRESH the TTL (sliding expiry).
+    """
+    import time
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        now_ms = int(time.time() * 1000)
+        stale = True
+        if state.exists:
+            (last_seen,) = state.get
+            stale = now_ms - int(last_seen) > ttl_ms
+        state.update((now_ms,))
+        # eviction horizon: TTL + slack so in-band staleness wins races
+        state.setTimeoutDuration(ttl_ms * 2)
+        if not stale:
+            for _ in pdfs:
+                pass
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            i = pdf["doc_id"].idxmin()
+            row = pdf.loc[[i], ["fingerprint", "doc_id", "text"]]
+            if first is None or int(row["doc_id"].iloc[0]) < int(
+                first["doc_id"].iloc[0]
+            ):
+                first = row
+        return iter(()) if first is None else iter([first])
+
+    return fn
+
+
 def streaming_first_seen_dedup(
     spark: SparkSession,
     landing_dir: str,
     schema,
     checkpoint_dir: str,
     output_dir: str,
-) -> None:
+    state_ttl_ms: int | None = None,
+):
     """Emit each distinct document fingerprint once, keeping min doc_id
-    within a microbatch and the earliest microbatch across restarts."""
+    within a microbatch and the earliest microbatch across restarts.
+
+    ``state_ttl_ms=None`` (default) is EXACT dedup: one state row per
+    distinct fingerprint, forever — right when distinct keys fit state
+    storage.  Runs under ``Trigger.AvailableNow`` (drain and stop) and
+    blocks until done.
+
+    A TTL switches to bounded-state approximate dedup: keys idle past the
+    TTL are evicted (ProcessingTimeTimeout) and re-emitted on next
+    sighting — right at 10^12-turn scale where unbounded state is
+    impossible and near-in-time duplicates are the ones that matter.
+    Processing-time timeouts are structurally incompatible with
+    drain-and-stop (an armed timeout is always pending future work, so an
+    AvailableNow query never reaches termination — measured, not
+    theorized), so TTL mode runs as a CONTINUOUS query and RETURNS the
+    live ``StreamingQuery``; the caller owns ``stop()``.
+    """
     stream = (
         spark.readStream.schema(schema)
         .parquet(landing_dir)
         .withColumn("fingerprint", fingerprint(F.col("text")))
     )
+    if state_ttl_ms is None:
+        deduped = stream.groupBy("fingerprint").applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=_DEDUP_OUTPUT,
+            stateStructType=_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return None
     deduped = stream.groupBy("fingerprint").applyInPandasWithState(
-        _dedup_fn,
+        _make_dedup_ttl_fn(int(state_ttl_ms)),
         outputStructType=_DEDUP_OUTPUT,
-        stateStructType=_DEDUP_STATE,
+        stateStructType=_DEDUP_TTL_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    q = (
+    return (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
 
 
 def windowed_mention_counts(

@@ -88,3 +88,75 @@ def test_windowed_mention_counts(spark, tmp_path):
     }
     for r in rows:
         assert batch_counts[(r["window_start"], r["mention_text"])] == r["n"]
+
+
+def test_streaming_dedup_with_state_ttl(spark, tmp_path):
+    """Bounded-state dedup (continuous query): within the TTL a duplicate
+    is suppressed; a duplicate arriving after the key's TTL elapsed is
+    re-emitted — the approximate-dedup tradeoff that keeps state size
+    bounded at 10^12-turn streaming scale.  TTL mode runs continuously
+    (ProcessingTimeTimeout cannot drain-and-stop), so the test polls the
+    sink and stops the returned query."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # generous TTL: the staleness clock runs between BATCH PROCESSING
+    # times, and scheduling gaps of a few seconds are normal — a tight TTL
+    # would make the "within TTL" leg flaky
+    ttl_ms = 12_000
+    os.makedirs(landing, exist_ok=True)
+
+    def land(batch, tag):
+        staging = str(tmp_path / f"staging-{tag}")
+        spark.createDataFrame(batch, DOC_SCHEMA).coalesce(1).write.parquet(
+            staging
+        )
+        for i, f in enumerate(
+            glob.glob(os.path.join(staging, "part-*.parquet"))
+        ):
+            shutil.copy(f, os.path.join(landing, f"{tag}-{i}.parquet"))
+
+    def sink_rows():
+        try:
+            return sorted(
+                (r["text"], r["doc_id"])
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    def wait_for(n, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            rows = sink_rows()
+            if len(rows) >= n:
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows: {sink_rows()}")
+
+    land([(5, "alpha text"), (2, "alpha text"), (3, "beta text")], "b1")
+    q = streaming_first_seen_dedup(
+        spark, landing, DOC_SCHEMA, ckpt, out, state_ttl_ms=ttl_ms
+    )
+    try:
+        assert wait_for(2) == [("alpha text", 2), ("beta text", 3)]
+        # within TTL: duplicate suppressed (sighting refreshes the TTL)
+        land([(9, "alpha text")], "b2")
+        time.sleep(4.0)
+        assert len(sink_rows()) == 2
+        # after TTL: the marker is stale -> the duplicate re-emits
+        time.sleep((ttl_ms + 3_000) / 1000)
+        land([(11, "alpha text")], "b3")
+        rows = wait_for(3)
+        assert rows == [
+            ("alpha text", 2),
+            ("alpha text", 11),
+            ("beta text", 3),
+        ]
+    finally:
+        q.stop()
