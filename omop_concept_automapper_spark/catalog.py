@@ -303,8 +303,7 @@ class Table:
         not O(table).  At 10^9 edges an incremental run no longer rewrites
         the whole table (the round-1 scale-killer)."""
         spec = self.bucket_spec()
-        newly_bucketed = spec is None and bucket_by is not None
-        if newly_bucketed:
+        if spec is None and bucket_by is not None:
             spec = self._set_bucket_spec(*bucket_by)
         if spec is None:
             if not self.exists():
@@ -315,12 +314,27 @@ class Table:
             )
             merged = kept.unionByName(df)
             return self._commit_rewrite(merged, "merge", partition_by, metrics)
-        if newly_bucketed and self.exists():
+        prev = self.snapshot()
+        if prev is not None and not prev.buckets:
             # one-time conversion of a table born non-bucketed: the prior
             # snapshot has no bucket map, so the bucket-scoped merge below
             # would silently drop every pre-existing row — fold the whole
-            # table through the bucket writer once; later merges are scoped
+            # table through the bucket writer once; later merges are scoped.
+            # Keyed on the DURABLE state (current snapshot lacks a bucket
+            # map), not on whether this call wrote the spec file: a crash
+            # between _set_bucket_spec and the conversion commit otherwise
+            # leaves a spec on disk over an unbucketed snapshot, and the
+            # next merge would take the scoped path with an empty bucket map
+            # and silently drop every pre-existing row.
             current = self.read()
+            if set(df.columns) != set(current.columns):
+                # the scoped path would surface this as a union mismatch;
+                # don't let the conversion silently project columns away
+                raise ValueError(
+                    "merge_upsert schema mismatch during bucketing "
+                    f"conversion: table has {sorted(current.columns)}, "
+                    f"delta has {sorted(df.columns)}"
+                )
             kept = current.join(
                 df.select(*keys).distinct(), on=keys, how="left_anti"
             )

@@ -419,6 +419,50 @@ def test_bucketed_merge_last_write_wins_and_inserts(spark, tmp_path):
     assert rows == {"a": 1, "b": 2, "c": 2}
 
 
+def test_bucketing_conversion_survives_crash_after_spec_write(spark, tmp_path):
+    """Crash-window hazard (r4 advice): the bucket spec lands on disk but
+    the conversion fold never commits.  The next merge_upsert must take the
+    full-fold conversion path (prior snapshot has no bucket map), NOT the
+    scoped path with an empty bucket map — which silently dropped every
+    pre-existing row."""
+    from omop_concept_automapper_spark.catalog import Table
+
+    tbl = Table(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(f"m:{i}", i) for i in range(50)], "subj string, v int"
+    )
+    tbl.overwrite(base)  # born non-bucketed
+    # simulate the crash: spec persisted, conversion commit never happened
+    tbl._set_bucket_spec("subj", 4)
+    delta = spark.createDataFrame([("m:7", 999), ("m:99", 1)], "subj string, v int")
+    tbl.merge_upsert(delta, keys=["subj"])
+    rows = {r["subj"]: r["v"] for r in tbl.read().collect()}
+    assert len(rows) == 51                      # every pre-existing row kept
+    assert rows["m:7"] == 999 and rows["m:99"] == 1
+    assert tbl.snapshot().buckets               # and the table is now bucketed
+    # a later merge is scoped again
+    tbl.merge_upsert(
+        spark.createDataFrame([("m:8", 888)], "subj string, v int"), keys=["subj"]
+    )
+    assert tbl.snapshot().metrics["buckets_rewritten"] == 1
+
+
+def test_bucketing_conversion_rejects_schema_mismatch(spark, tmp_path):
+    """The conversion fold must not silently project away delta columns the
+    table lacks (r4 advice: df.select(*current.columns) dropped them)."""
+    import pytest
+
+    from omop_concept_automapper_spark.catalog import Table
+
+    tbl = Table(spark, str(tmp_path / "t"))
+    tbl.overwrite(spark.createDataFrame([("a", 1)], "subj string, v int"))
+    widened = spark.createDataFrame(
+        [("b", 2, "extra")], "subj string, v int, note string"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.merge_upsert(widened, keys=["subj"], bucket_by=("subj", 4))
+
+
 def test_incremental_run_equals_from_scratch(spark, tmp_path):
     """run_incremental over new conversations must converge to exactly the
     from-scratch result on the union: same mention freqs, same links, same
