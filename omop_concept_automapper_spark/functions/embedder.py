@@ -23,6 +23,10 @@ import numpy as np
 
 EMBED_DIM = 64
 _NGRAM = 3
+# Bump whenever the embedding function changes: vectors are a pure function
+# of (text, EMBEDDER_VERSION), and the link-config fingerprint folds this in
+# so persisted vector indexes are invalidated when the derivation changes.
+EMBEDDER_VERSION = 1
 
 
 def _ngram_hash(ngram: bytes) -> int:

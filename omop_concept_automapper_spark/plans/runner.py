@@ -114,17 +114,28 @@ class Pipeline:
         changed, stale rows must be recomputed" — without it,
         reset_stage('links') alone silently kept stale links (every mention
         anti-joined away).  The vocab hash is one small dimension-table
-        aggregate (count + xxhash64 sum); vectors are derived
-        deterministically from names so hashing the metadata suffices."""
+        aggregate (count + xxhash64 sum) over EVERY column the index
+        persists: concept metadata, the derived ``atc7_codes`` (an
+        ATC-mapping change with unchanged names/domains must invalidate the
+        index, or linking serves stale maps-to-value drug filters — r4
+        advice), and the embedder version standing in for the vector column
+        (vectors are a pure function of (concept_name, EMBEDDER_VERSION))."""
         import json
+
+        from omop_concept_automapper_spark.functions.embedder import (
+            EMBEDDER_VERSION,
+        )
 
         row = vocab_embeddings.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(
-                    F.xxhash64("concept_id", "concept_name", "domain_id").cast(
-                        "decimal(38,0)"
-                    )
+                    F.xxhash64(
+                        "concept_id",
+                        "concept_name",
+                        "domain_id",
+                        F.array_join("atc7_codes", ","),
+                    ).cast("decimal(38,0)")
                 ),
                 F.lit(0),
             ).alias("h"),
@@ -138,6 +149,7 @@ class Pipeline:
                 else None,
                 "vocab_n": int(row["n"]),
                 "vocab_h": str(row["h"]),
+                "embedder_v": EMBEDDER_VERSION,
             },
             sort_keys=True,
         )
@@ -277,9 +289,13 @@ class Pipeline:
         """Delta-scoped graph update (r3 verdict ask #4c): canonicalization
         cost O(affected components), not O(all accepted links).
 
-        * delta = accepted rows whose (subj, pred, obj) is not already in
-          the edges table — new mentions, plus re-scored mentions whose
-          target changed;
+        * delta = accepted rows whose FULL edge row differs from the edges
+          table — new mentions, re-scored mentions whose target changed,
+          and (r4 advice) re-scored mentions whose target is unchanged but
+          whose payload (pred, confidence, mapping_method, target_domains)
+          changed, e.g. after a config change forced a full relink; a
+          key-only anti-join kept those subjects' stale audit columns,
+          diverging from the full path's last-write-wins-per-subject merge;
         * affected components = prior components containing any delta
           endpoint, found via the STORED (comp_h1, comp_h2) labels with two
           long-keyed semi-joins;
@@ -287,24 +303,51 @@ class Pipeline:
           components) ∪ delta only; every node of an affected component
           appears there (each accepted link carries its mention and
           concept), so the bucketed node merge-upsert relabels exactly the
-          affected rows and leaves untouched components' buckets unread.
+          affected rows and leaves untouched components' buckets unread;
+        * a concept whose LAST mention was remapped away (the reference's
+          remap is delete+insert, mapping.py:112-132) would otherwise keep
+          a stale component/canonical label — it never reappears in the CC
+          input, which holds post-merge edges only.  Such orphaned concepts
+          are relabeled as their own singleton component (canonical =
+          themselves), so retained rows never carry stale labels (r4
+          verdict ask #1).
 
         Rows never leave the graph on this path (same as the full merge:
         deletes go through reset/ST2-remap), and a format mismatch never
         reaches here (stage_graph gates on GRAPH_FORMAT).
         """
         prior_edges = edges_tbl.read()
-        delta = accepted.join(
-            prior_edges.select(
-                F.col("subj_h1").alias("mention_id"),
-                F.col("subj_h2").alias("mention_id2"),
-                F.col("obj").alias("concept_id"),
-            ),
-            ["mention_id", "mention_id2", "concept_id"],
-            "left_anti",
-        ).localCheckpoint(eager=True)  # reused 4x below; O(delta) rows
-        if delta.isEmpty():
+        new_edges = build_edges(accepted, self.cfg.target_domains)
+        # full-row change detector: the 128-bit subject key plus a hash of
+        # every payload column except created_at (a replaced row's
+        # timestamp is fresh on the full path too)
+        payload_h = F.xxhash64(
+            F.col("obj").cast("string"),
+            "pred",
+            F.col("confidence").cast("string"),
+            "mapping_method",
+            F.array_join("target_domains", ","),
+        )
+        delta_edges = (
+            new_edges.withColumn("_ph", payload_h)
+            .join(
+                prior_edges.select(
+                    "subj_h1", "subj_h2", payload_h.alias("_ph")
+                ),
+                ["subj_h1", "subj_h2", "_ph"],
+                "left_anti",
+            )
+            .drop("_ph")
+            .localCheckpoint(eager=True)  # reused 4x below; O(delta) rows
+        )
+        if delta_edges.isEmpty():
             return edges_tbl.snapshot(), nodes_tbl.snapshot()
+        delta = delta_edges.select(
+            F.col("subj_h1").alias("mention_id"),
+            F.col("subj_h2").alias("mention_id2"),
+            "mention_text",
+            F.col("obj").alias("concept_id"),
+        )
         prior_nodes = nodes_tbl.read()
         d_keys = (
             delta.select(
@@ -359,10 +402,33 @@ class Pipeline:
                 "mention_id", "mention_id2", "mention_text", "concept_id"
             )
         )
-        partial_nodes = build_nodes(cc_input)
+        # orphaned concepts: in an affected component but no longer linked
+        # by any post-merge edge — relabel as their own singleton component
+        # (comp = own node key, canonical = themselves, which is what
+        # canonical_id already is for every concept node)
+        linked_concepts = cc_input.select(
+            F.expr("shiftleft(cast(concept_id as long), 1)").alias("node_h1"),
+            F.lit(0).cast("long").alias("node_h2"),
+        ).distinct()
+        orphan_concepts = (
+            prior_nodes.join(aff_comps, ["comp_h1", "comp_h2"], "left_semi")
+            .where(F.col("node_type") == "concept")
+            .join(linked_concepts, ["node_h1", "node_h2"], "left_anti")
+            .select(
+                "node_h1",
+                "node_h2",
+                F.col("node_h1").alias("comp_h1"),
+                F.col("node_h2").alias("comp_h2"),
+                "node_id",
+                "node_type",
+                F.col("node_id").alias("canonical_id"),
+                "label",
+            )
+        )
+        partial_nodes = build_nodes(cc_input).unionByName(orphan_concepts)
         gm = {**gm, "delta_scoped": True}
         e_snap = edges_tbl.merge_upsert(
-            build_edges(delta, self.cfg.target_domains),
+            delta_edges,
             keys=["subj_h1", "subj_h2"],
             bucket_by=("subj_h1", n_buckets), metrics=gm,
         )

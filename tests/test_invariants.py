@@ -714,3 +714,153 @@ def test_three_successive_delta_folds_keep_canonical_equality(spark, tmp_path):
 
     assert edge_set(wh) == edge_set(full_wh)
     assert node_rows(wh) == node_rows(full_wh)
+
+
+def _mk_links(spark, rows):
+    """Synthetic links table: rows = (mention_text, concept_id, confidence)."""
+    df = spark.createDataFrame(
+        rows, "mention_text string, concept_id int, confidence int"
+    )
+    return df.select(
+        F.xxhash64("mention_text").alias("mention_id"),
+        F.xxhash64(F.lit(1), F.col("mention_text")).alias("mention_id2"),
+        "mention_text",
+        F.lit(False).alias("is_drug"),
+        F.lit("").alias("atc7"),
+        "concept_id",
+        F.col("mention_text").alias("concept_name"),
+        F.lit(1.0).cast("float").alias("score"),
+        "confidence",
+        F.lit(15).alias("k_used"),
+        F.lit(15).alias("n_candidates"),
+        F.lit("auto_standard").alias("mapping_method"),
+        F.array().cast("array<int>").alias("candidate_ids"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
+def test_delta_merge_relabels_orphaned_concepts(spark, tmp_path):
+    """r4 verdict ask #1: a remap that leaves a concept with zero mentions
+    must not keep the concept's stale component/canonical label on the
+    delta path — the orphan is relabeled as its own singleton component,
+    and every other row equals the from-scratch build."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    pipe.stage_graph(_mk_links(spark, [("alpha", 100, 10), ("beta", 200, 10)]))
+    # remap: alpha's only mention moves 100 -> 300; concept 100 is orphaned
+    wh.reset_stage("graph")
+    links2 = _mk_links(spark, [("alpha", 300, 10), ("beta", 200, 10)])
+    nodes, edges = pipe.stage_graph(links2)
+    assert wh.table("edges").snapshot().metrics.get("delta_scoped") is True
+
+    scratch = Warehouse(spark, str(tmp_path / "wh2"))
+    nodes2, edges2 = Pipeline(spark, scratch, PipelineConfig()).stage_graph(links2)
+
+    cols = [c for c in edges.columns if c != "created_at"]
+    assert sorted(map(tuple, edges.select(*cols).collect())) == sorted(
+        map(tuple, edges2.select(*cols).collect())
+    )
+    orphan = nodes.where(F.col("node_id") == "c:100").collect()
+    assert len(orphan) == 1
+    o = orphan[0]
+    # singleton: component = own node key (100 << 1, 0), canonical = itself
+    assert (o["comp_h1"], o["comp_h2"]) == (o["node_h1"], o["node_h2"]) == (200, 0)
+    assert o["canonical_id"] == "c:100"
+    rest = nodes.where(F.col("node_id") != "c:100")
+    assert sorted(map(tuple, rest.collect())) == sorted(
+        map(tuple, nodes2.collect())
+    )
+
+
+def test_delta_merge_detects_payload_only_changes(spark, tmp_path):
+    """r4 advice: a re-scored link whose target concept is unchanged but
+    whose confidence changed must still be rewritten by the delta merge
+    (key-only detection silently kept the stale audit columns)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    pipe.stage_graph(_mk_links(spark, [("alpha", 100, 10), ("beta", 200, 10)]))
+
+    # identical links: the delta is empty and the snapshots are untouched
+    e_sid = wh.table("edges").current_snapshot_id()
+    wh.reset_stage("graph")
+    pipe.stage_graph(_mk_links(spark, [("alpha", 100, 10), ("beta", 200, 10)]))
+    assert wh.table("edges").current_snapshot_id() == e_sid
+
+    # same concept, new confidence: the edge row must be replaced
+    wh.reset_stage("graph")
+    _, edges = pipe.stage_graph(
+        _mk_links(spark, [("alpha", 100, 9), ("beta", 200, 10)])
+    )
+    assert wh.table("edges").snapshot().metrics.get("delta_scoped") is True
+    by_text = {r["mention_text"]: int(r["confidence"]) for r in edges.collect()}
+    assert by_text == {"alpha": 9, "beta": 10}
+
+
+def test_remap_across_folds_equals_from_scratch(spark, tmp_path):
+    """End-to-end remap through run_incremental (config-fingerprint change
+    path, r4 verdict ask #1): fold 1 links mention -> concept A; fold 2's
+    domain-filter config remaps it to same-named concept B, orphaning A.
+    Delta-fold nodes/edges must equal from-scratch under the new config,
+    plus A's row relabeled as a singleton."""
+    import datetime
+
+    concept = spark.createDataFrame(
+        [
+            (9001, "zymotrex", "Condition", "SNOMED", "Clinical Finding", "S", "Z1"),
+            (9002, "zymotrex", "Measurement", "LOINC", "Lab Test", "S", "Z2"),
+        ],
+        "concept_id int, concept_name string, domain_id string, "
+        "vocabulary_id string, concept_class_id string, "
+        "standard_concept string, concept_code string",
+    )
+    rel = spark.createDataFrame(
+        [],
+        "concept_id_1 int, concept_id_2 int, relationship_id string, "
+        "invalid_reason string",
+    )
+    anc = spark.createDataFrame(
+        [], "ancestor_concept_id int, descendant_concept_id int"
+    )
+    lexicon = [{"mention_text": "zymotrex", "is_drug": False}]
+    ts = datetime.datetime(2026, 1, 1)
+
+    def turns(conv):
+        return spark.createDataFrame(
+            [(conv, 0, "doctor", "patient shows zymotrex today", None, ts)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    out1 = Pipeline(spark, wh, PipelineConfig()).run(
+        turns("c1"), concept, rel, anc, lexicon
+    )
+    assert [r["obj"] for r in out1["edges"].collect()] == [9001]
+
+    # fold 2: domain filter remaps the mention to the Measurement twin
+    pipe2 = Pipeline(
+        spark, wh, PipelineConfig(target_domains=["Measurement"])
+    )
+    out2 = pipe2.run_incremental(turns("c2"), concept, rel, anc, lexicon)
+    assert wh.table("edges").snapshot().metrics.get("delta_scoped") is True
+    assert [r["obj"] for r in out2["edges"].collect()] == [9002]
+
+    scratch = Warehouse(spark, str(tmp_path / "wh2"))
+    out_s = Pipeline(
+        spark, scratch, PipelineConfig(target_domains=["Measurement"])
+    ).run(
+        turns("c1").unionByName(turns("c2")), concept, rel, anc, lexicon
+    )
+    ecols = [c for c in out2["edges"].columns if c != "created_at"]
+    assert sorted(map(tuple, out2["edges"].select(*ecols).collect())) == sorted(
+        map(tuple, out_s["edges"].select(*ecols).collect())
+    )
+    nodes = out2["nodes"]
+    orphan = nodes.where(F.col("node_id") == "c:9001").collect()
+    assert len(orphan) == 1
+    o = orphan[0]
+    assert (o["comp_h1"], o["comp_h2"]) == (o["node_h1"], o["node_h2"])
+    assert o["canonical_id"] == "c:9001"
+    assert sorted(
+        map(tuple, nodes.where(F.col("node_id") != "c:9001").collect())
+    ) == sorted(map(tuple, out_s["nodes"].collect()))
