@@ -79,26 +79,41 @@ def stream_into_kg(
     append-heavy ``mention_occurrences`` table is compacted and its old
     snapshots expired, so file count stays bounded instead of growing one
     data dir per batch forever (Iceberg's rewrite_data_files +
-    expire_snapshots housekeeping).  Safe under replay: compaction folds
-    applied stream_batch_id markers forward into the surviving snapshot
-    (catalog.Table.compact / expire_snapshots), so the exactly-once guard
-    outlives maintenance.  ``compact_every <= 0`` disables it.
+    expire_snapshots housekeeping).  The trigger counts batches since the
+    LAST compaction (a ``compacted_through`` marker in the compact
+    snapshot's metrics), not ``len(applied) % compact_every`` — the modulo
+    form re-fired on every replayed microbatch while the count sat at a
+    multiple, and on tables with zero markers (r4 advice).  Safe under
+    replay: compaction folds applied stream_batch_id markers forward into
+    the surviving snapshot (catalog.Table.compact / expire_snapshots), so
+    the exactly-once guard outlives maintenance.  ``compact_every <= 0``
+    disables it.
     """
 
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        occ_tbl = pipeline.wh.table("mention_occurrences")
+        replay = (
+            occ_tbl.exists()
+            and int(batch_id) in occ_tbl.applied_stream_batch_ids()
+        )
         pipeline.run_incremental(
             batch_df, concept, relationship, ancestor, lexicon,
             batch_id=int(batch_id),
         )
-        occ_tbl = pipeline.wh.table("mention_occurrences")
-        if (
-            compact_every > 0
-            and occ_tbl.exists()
-            and len(occ_tbl.applied_stream_batch_ids()) % compact_every == 0
-        ):
-            occ_tbl.compact()
+        if compact_every <= 0 or replay or not occ_tbl.exists():
+            return
+        n_applied = len(occ_tbl.applied_stream_batch_ids())
+        done_through = max(
+            (
+                int((s.metrics or {}).get("compacted_through", 0))
+                for s in occ_tbl.history()
+            ),
+            default=0,
+        )
+        if n_applied - done_through >= compact_every:
+            occ_tbl.compact(metrics={"compacted_through": n_applied})
             occ_tbl.expire_snapshots(keep_last=1)
 
     query = (

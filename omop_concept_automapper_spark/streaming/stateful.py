@@ -110,6 +110,69 @@ def _make_dedup_ttl_fn(ttl_ms: int):
     return fn
 
 
+_DEDUP_EVENT_OUTPUT = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+_DEDUP_EVENT_STATE = StructType([StructField("last_seen_ms", LongType())])
+
+
+def _make_dedup_event_ttl_fn(ttl_ms: int):
+    """First-seen dedup with an EVENT-TIME TTL (the recommended bounded-state
+    mode, r4 verdict ask #2).
+
+    The staleness clock is the data's own ``ts`` column, never the wall
+    clock: a sighting re-emits iff its event time is more than ``ttl_ms``
+    after the key's previous sighting (sightings refresh the TTL — sliding
+    expiry).  Rows are walked in (ts, doc_id) order, so classification is a
+    pure function of the data — checkpoint replays reproduce it exactly,
+    unlike the processing-time variant whose ``time.time()`` can classify a
+    replayed row differently.  Eviction uses ``EventTimeTimeout``: the
+    marker is dropped once the WATERMARK passes last_seen + ttl, at which
+    point every arriving row is either stale in-band (ts > last_seen + ttl
+    re-emits anyway) or below the watermark (dropped as late data) — so
+    state size is bounded by distinct keys per TTL window and eviction
+    timing can never change the output.  Watermark-driven timeouts are also
+    drainable: an ``availableNow`` trigger terminates, which the
+    processing-time variant structurally cannot.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return iter(())
+        pdf = pd.concat(chunks, ignore_index=True)
+        ts_ms = (
+            pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000
+        ).astype("int64")
+        order = sorted(range(len(pdf)), key=lambda i: (ts_ms.iloc[i], pdf["doc_id"].iloc[i]))
+        last = int(state.get[0]) if state.exists else None
+        emit = []
+        for i in order:
+            t = int(ts_ms.iloc[i])
+            if last is None or t - last > ttl_ms:
+                emit.append(i)
+            last = t if last is None else max(last, t)
+        state.update((int(last),))
+        # eviction horizon: watermark past last_seen + ttl means no
+        # non-late row can still be classified "within TTL"; the +1-of-
+        # watermark floor satisfies Spark's timeout > watermark requirement
+        # without changing semantics (later eviction is always safe)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(last) + ttl_ms, wm + 1))
+        if not emit:
+            return iter(())
+        return iter([pdf.loc[emit, ["fingerprint", "doc_id", "text"]]])
+
+    return fn
+
+
 def streaming_first_seen_dedup(
     spark: SparkSession,
     landing_dir: str,
@@ -117,6 +180,8 @@ def streaming_first_seen_dedup(
     checkpoint_dir: str,
     output_dir: str,
     state_ttl_ms: int | None = None,
+    event_ttl_ms: int | None = None,
+    watermark_delay: str = "0 seconds",
 ):
     """Emit each distinct document fingerprint once, keeping min doc_id
     within a microbatch and the earliest microbatch across restarts.
@@ -127,20 +192,52 @@ def streaming_first_seen_dedup(
     blocks until done.
 
     A TTL switches to bounded-state approximate dedup: keys idle past the
-    TTL are evicted (ProcessingTimeTimeout) and re-emitted on next
-    sighting — right at 10^12-turn scale where unbounded state is
-    impossible and near-in-time duplicates are the ones that matter.
-    Processing-time timeouts are structurally incompatible with
-    drain-and-stop (an armed timeout is always pending future work, so an
-    AvailableNow query never reaches termination — measured, not
-    theorized), so TTL mode runs as a CONTINUOUS query and RETURNS the
-    live ``StreamingQuery``; the caller owns ``stop()``.
+    TTL are evicted and re-emitted on next sighting — right at 10^12-turn
+    scale where unbounded state is impossible and near-in-time duplicates
+    are the ones that matter.  Two TTL clocks:
+
+    * ``event_ttl_ms`` (RECOMMENDED): the TTL is measured in the data's own
+      event time (``ts`` column required in ``schema``; ``watermark_delay``
+      bounds lateness).  Deterministic under checkpoint replay and
+      drainable — runs under ``availableNow`` and blocks until done, like
+      exact mode.
+    * ``state_ttl_ms``: wall-clock (ProcessingTimeTimeout).  Kept for
+      wall-clock use cases, but it is neither replay-deterministic (the
+      state function reads ``time.time()``) nor drainable — an armed
+      processing-time timeout is always pending future work, so an
+      AvailableNow query never reaches termination (measured, not
+      theorized); this mode runs as a CONTINUOUS query and RETURNS the
+      live ``StreamingQuery``; the caller owns ``stop()``.
     """
+    if state_ttl_ms is not None and event_ttl_ms is not None:
+        raise ValueError("pass at most one of state_ttl_ms / event_ttl_ms")
     stream = (
         spark.readStream.schema(schema)
         .parquet(landing_dir)
         .withColumn("fingerprint", fingerprint(F.col("text")))
     )
+    if event_ttl_ms is not None:
+        deduped = (
+            stream.withWatermark("ts", watermark_delay)
+            .groupBy("fingerprint")
+            .applyInPandasWithState(
+                _make_dedup_event_ttl_fn(int(event_ttl_ms)),
+                outputStructType=_DEDUP_EVENT_OUTPUT,
+                stateStructType=_DEDUP_EVENT_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return None
     if state_ttl_ms is None:
         deduped = stream.groupBy("fingerprint").applyInPandasWithState(
             _dedup_fn,

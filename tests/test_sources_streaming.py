@@ -353,3 +353,56 @@ def test_replay_after_maintenance_is_exactly_once(spark, tmp_path):
     occ_tbl.expire_snapshots(keep_last=1)
     pipe.run_incremental(batch, *vocab_dataframes(spark), lexicon, batch_id=0)
     assert occ_tbl.read().count() == n1
+
+
+def test_replayed_batch_does_not_recompact(spark, tmp_path):
+    """r4 advice: the compaction trigger must count batches since the last
+    compaction, not len(applied) % compact_every — a replayed microbatch
+    arriving while the count sits at a multiple used to re-fire a full
+    table rewrite on every replay."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        transcripts_dataframe,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import build_lexicon
+    from omop_concept_automapper_spark.plans.runner import (
+        Pipeline,
+        PipelineConfig,
+    )
+    from omop_concept_automapper_spark.streaming.ingest import stream_into_kg
+
+    lexicon = build_lexicon()
+    all_convs = transcripts_dataframe(spark, n_conversations=12)
+    landing = str(tmp_path / "landing")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    bounds = ["conv-000000", "conv-000006", None]
+    for i in range(2):  # exactly compact_every applied batches
+        sel = F.col("conv_id") >= bounds[i]
+        if bounds[i + 1] is not None:
+            sel = sel & (F.col("conv_id") < bounds[i + 1])
+        all_convs.where(sel).coalesce(1).write.mode("append").parquet(landing)
+        stream_into_kg(
+            spark, landing, str(tmp_path / "ckpt"), pipe,
+            *vocab_dataframes(spark), lexicon, compact_every=2,
+        )
+    occ_tbl = wh.table("mention_occurrences")
+
+    def n_compacts():
+        return sum(
+            1
+            for s in occ_tbl.history()
+            if (s.metrics or {}).get("compacted_through")
+        )
+
+    assert n_compacts() == 1  # batch 2 of 2 triggered the one compaction
+
+    # replay: a FRESH checkpoint redelivers the landed files as batch 0,
+    # which is already applied — the fold must neither re-append nor
+    # re-compact while the applied count sits at a multiple
+    n_rows = occ_tbl.read().count()
+    stream_into_kg(
+        spark, landing, str(tmp_path / "ckpt-replay"), pipe,
+        *vocab_dataframes(spark), lexicon, compact_every=2,
+    )
+    assert occ_tbl.read().count() == n_rows
+    assert n_compacts() == 1
