@@ -435,7 +435,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the array form is consumed directly by dedup_lsh_pairs below.
         sigs = minhash_signatures(_t(spark, sf, "documents"))
         return sigs.select(
-            "doc_id", F.concat_ws("|", "signature").alias("signature")
+            "doc_id",
+            F.concat_ws(
+                "|", F.transform("signature", lambda x: x.cast("string"))
+            ).alias("signature"),
         )
 
     def dedup_lsh_pairs(spark, sf):
@@ -1133,15 +1136,27 @@ _SHINGLES = (
 
 
 def _minhash_sig_sql(as_string: bool = False) -> str:
+    """DuckDB twin of operators/dedup.py minhash_signatures: one md5 per
+    shingle, per-seed values by arithmetic mixing of the digest's two
+    leading 32-bit halves — same constants, bit-identical signatures."""
+    from omop_concept_automapper_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s)))" for j in range(8)
+        f"MIN(({a} * h1 + {b} * h2 + {c}) % {MINHASH_PRIME})"
+        for (a, b, c) in minhash_params(8)
     )
     sig = f"[{mins}]"
     if as_string:
         sig = f"array_to_string({sig}, '|')"
     return (
-        f"SELECT doc_id, {sig} AS signature "
-        f"FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)"
+        f"SELECT doc_id, {sig} AS signature FROM ("
+        f"  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,"
+        f"         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2"
+        f"  FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents))"
+        f" GROUP BY doc_id"
     )
 
 
@@ -1502,7 +1517,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sigs AS ({_minhash_sig_sql()}),
             bands AS (
               SELECT doc_id, b AS band,
-                     md5(signature[2*b+1] || '|' || signature[2*b+2]) AS bucket
+                     md5(signature[2*b+1]::VARCHAR || '|' || signature[2*b+2]::VARCHAR) AS bucket
               FROM sigs, UNNEST([0,1,2,3]) AS t(b))
             SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
             FROM bands l JOIN bands r
@@ -1524,7 +1539,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sigs AS ({_minhash_sig_sql()}),
             bands AS (
               SELECT doc_id, b AS band,
-                     md5(signature[2*b+1] || '|' || signature[2*b+2]) AS bucket
+                     md5(signature[2*b+1]::VARCHAR || '|' || signature[2*b+2]::VARCHAR) AS bucket
               FROM sigs, UNNEST([0,1,2,3]) AS t(b)),
             cand AS (
               SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2

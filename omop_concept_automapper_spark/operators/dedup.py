@@ -40,8 +40,14 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(col: Column, size: int = 3) -> Column:
-    toks = tokens_col(col)
+def _shingles(toks: Column, size: int = 3) -> Column:
+    """Word shingles over a token-array column.
+
+    ``toks`` must be a MATERIALIZED attribute (projected in a prior
+    select), never the raw ``tokens_col(...)`` expression: a non-attribute
+    subtree captured by the transform lambda is re-evaluated per element,
+    so each shingle re-ran the regex split — O(tokens^2) per document and
+    6x the whole minhash gate's runtime (measured at sf0.1)."""
     n = F.size(toks)
     return F.when(n >= size, F.transform(
         F.sequence(F.lit(1), n - size + 1),
@@ -49,26 +55,71 @@ def _shingles(col: Column, size: int = 3) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+# (a * h1 + b * h2 + c) mod P is a 2-universal-style hash family over the
+# two 32-bit md5 halves.  P = 2^31 - 1 (prime); a, b < 2^30 keeps every
+# product below 2^62 — no bigint overflow in Spark ANSI mode or DuckDB.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    """Deterministic per-seed mixing constants, shared by the Spark engine
+    and the DuckDB oracle renderer so signatures stay bit-identical."""
+    import random
+
+    rng = random.Random(f"minhash:{seed}")
+    return [
+        (
+            rng.randrange(1, 1 << 30),
+            rng.randrange(1, 1 << 30),
+            rng.randrange(0, MINHASH_PRIME),
+        )
+        for _ in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, shingle_size: int = 3
 ) -> DataFrame:
-    """Map-only MinHash: signature[j] = min over shingles of md5(j || ':' || s).
+    """Map-only MinHash: signature[j] = min over shingles of
+    (a_j * h1 + b_j * h2 + c_j) mod P, where (h1, h2) are the two leading
+    32-bit halves of ONE md5 per shingle.
 
-    md5-string min (lexicographic) is identical in Spark and ANSI SQL, so
-    the signature is oracle-checkable bit-for-bit.
+    Each shingle is digested once and the per-seed values derived by
+    arithmetic mixing (r4 verdict ask #3 — the previous form ran n_hashes
+    md5 calls per shingle and made the minhash/LSH/jaccard trio the
+    slowest non-CC gates).  Integer arithmetic on hex substrings is
+    identical in Spark and ANSI SQL, so the signature stays
+    oracle-checkable bit-for-bit.
     """
-    # explode -> hash-agg shape: shingle construction runs ONCE per doc
-    # (a nested-HOF formulation re-evaluates the shingle expression per hash
-    # seed and drops out of codegen — measured 13x slower), the n_hashes
-    # md5+min aggregate map-side, and the shuffle carries only
-    # docs x n_hashes partial minima.
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"), shingle_size)).alias("s")
+    # explode -> hash-agg shape: shingle construction and the single md5
+    # run ONCE per (doc, shingle) (a nested-HOF formulation re-evaluates
+    # the shingle expression per hash seed and drops out of codegen —
+    # measured 13x slower), the n_hashes mix+min aggregate map-side, and
+    # the shuffle carries only docs x n_hashes partial minima (now longs,
+    # not 32-char hex strings).
+    hashed = (
+        docs.select("doc_id", tokens_col("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(_shingles(F.col("toks"), shingle_size)).alias("s"),
+        )
+        .select("doc_id", F.md5("s").alias("m"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("h2"),
+        )
     )
-    mins = exploded.groupBy("doc_id").agg(
+    params = minhash_params(n_hashes)
+    mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"h{j}")
-            for j in range(n_hashes)
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2") + F.lit(c),
+                    F.lit(MINHASH_PRIME),
+                )
+            ).alias(f"h{j}")
+            for j, (a, b, c) in enumerate(params)
         ]
     )
     return mins.select(
@@ -97,6 +148,7 @@ def lsh_candidate_pairs(
                                 "|",
                                 *[
                                     F.col("signature")[b * rows_per_band + r]
+                                    .cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
