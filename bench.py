@@ -35,6 +35,7 @@ HEADLINE = [
     "ann_knn_join_shuffled",
     "ann_lsh_bucketed",
     "kg_mention_freqs_token_path",
+    "kg_mention_freqs_token_20k",
     "text_quality_metrics",
     "text_lang_id",
     "cc_components",
@@ -90,6 +91,20 @@ def main() -> None:
     timings["kg_extract_link"] = kg["sec_extract_link"]
     timings["kg_extract_link_fileidx"] = kg["sec_extract_link_fileidx"]
     timings["kg_canonicalize"] = kg["sec_canonicalize"]
+
+    # O(delta) incremental fold (r4 verdict ask #7): fold a 1% batch into a
+    # warehouse built from the same conversation count; the from-scratch
+    # run over the union is the denominator of the delta ratio
+    from omop_concept_automapper_spark.benchkit import run_delta_fold_bench
+
+    work_delta = tempfile.mkdtemp(prefix="kg_delta_")
+    try:
+        dd = run_delta_fold_bench(
+            spark, work_delta, n_conversations=kg_convs, delta_frac=0.01
+        )
+    finally:
+        shutil.rmtree(work_delta, ignore_errors=True)
+    timings["kg_delta_fold_1pct"] = dd["sec_delta_fold"]
 
     # CC at scale: 10^6 edges including a 200k-degree hub (SCALE.md claim:
     # hubs contract in one round, rounds stay O(log n))
@@ -152,6 +167,10 @@ def main() -> None:
         "kg_turns_per_sec_fileidx": kg["turns_per_sec_fileidx"],
         "kg_turns_per_sec_e2e": kg["turns_per_sec_e2e"],
         "kg_edges": kg["edges"],
+        "kg_delta_from_scratch_sec": dd["sec_from_scratch"],
+        "kg_delta_ratio": dd["delta_ratio"],
+        "kg_delta_scan_ratio": dd["delta_scan_ratio"],
+        "kg_delta_dim_path": dd["dim_path"],
         "cc_1m_rounds": cc_stats.get("rounds"),
         "cc_10m_rounds": cc10_stats.get("rounds"),
     }

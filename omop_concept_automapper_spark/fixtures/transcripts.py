@@ -106,13 +106,16 @@ def transcripts_dataframe_distributed(
     n_conversations: int,
     seed: int = 42,
     partitions: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Scale-out generator: conversations synthesized on executors via
     mapInPandas over spark.range — identical rows to the sequential
     generator (per-conv rng), so bench data is reproducible at any
     parallelism.  This stands in for the production Iceberg transcripts
     scan (range-partitioned on conv_id: spark.range is already a
-    contiguous range partitioning of conv ordinals)."""
+    contiguous range partitioning of conv ordinals).  ``start`` offsets the
+    conv ordinal range so a delta batch gets ids disjoint from the base
+    corpus (the incremental-fold bench)."""
     import pandas as pd
 
     lexicon = [e["mention_text"] for e in build_lexicon(seed=42)]
@@ -128,6 +131,6 @@ def transcripts_dataframe_distributed(
             yield out
 
     parts = partitions or spark.sparkContext.defaultParallelism * 2
-    return spark.range(0, n_conversations, numPartitions=parts).mapInPandas(
-        gen, schema=TRANSCRIPTS_SCHEMA
-    )
+    return spark.range(
+        start, start + n_conversations, numPartitions=parts
+    ).mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)

@@ -106,7 +106,7 @@ def build_edges(accepted: DataFrame, target_domains: list[str] | None) -> DataFr
     )
 
 
-def build_nodes(accepted: DataFrame) -> DataFrame:
+def build_nodes(accepted: DataFrame, single_target: bool = False) -> DataFrame:
     """Canonicalized node table over mention-entities + concepts.
 
     ``accepted`` needs only (mention_id, mention_id2, mention_text,
@@ -127,10 +127,18 @@ def build_nodes(accepted: DataFrame) -> DataFrame:
     multiple concepts falls back to the general iterative CC path
     (``_build_nodes_cc``) — the degree probe is one map-side-combined
     aggregate.
+
+    ``single_target=True`` (r4 verdict ask #6) asserts the one-row-per-
+    subject invariant STRUCTURALLY and skips the probe — for the pipeline
+    runner the invariant is guaranteed by the links table's last-write-wins
+    merge, so the extra driver-side ``isEmpty`` scan per fold is provably
+    redundant.  Ad-hoc callers keep the probe (default).
     """
     acc = accepted.select(
         "mention_id", "mention_id2", "mention_text", "concept_id"
     )
+    if single_target:
+        return _build_nodes_star(acc)
     multi = (
         acc.groupBy("mention_id", "mention_id2")
         .agg(F.count_distinct("concept_id").alias("n"))

@@ -121,3 +121,39 @@ def test_star_canonicalization_equals_cc_property(spark, links):
     )
     rows = lambda d: sorted(tuple(r) for r in d.collect())
     assert rows(_build_nodes_star(df)) == rows(_build_nodes_cc(df))
+
+
+def test_build_nodes_single_target_skips_probe(spark):
+    """r4 verdict ask #6: ``single_target=True`` must take the star path
+    WITHOUT the degree probe.  On a valid one-row-per-subject input it
+    equals the default path; on an invariant-VIOLATING input (one mention,
+    two concepts) the flagged call still runs the star plan — its output
+    differs from the CC fallback the probe would have chosen, proving the
+    probe was skipped."""
+    from pyspark.sql import functions as F
+
+    from omop_concept_automapper_spark.plans.graph import build_nodes
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    single = spark.createDataFrame(
+        [(1, 10, "a", 100), (2, 20, "b", 100), (3, 30, "c", 200)],
+        "mention_id long, mention_id2 long, mention_text string, concept_id int",
+    )
+    assert rows(build_nodes(single, single_target=True)) == rows(
+        build_nodes(single)
+    )
+
+    multi = spark.createDataFrame(
+        # mention (50,5) maps to BOTH concepts: CC fuses the two stars into
+        # one component labeled by concept 1's node (the global min); the
+        # star plan (wrongly, by contract) keeps one component per concept
+        [(50, 5, "m", 1), (50, 5, "m", 2), (1, 10, "a", 1), (2, 20, "b", 2)],
+        "mention_id long, mention_id2 long, mention_text string, concept_id int",
+    )
+    probed = build_nodes(multi)          # probe -> CC path
+    forced = build_nodes(multi, single_target=True)  # no probe -> star path
+    n_comp = lambda df: df.select("comp_h1", "comp_h2").distinct().count()
+    assert n_comp(probed) == 1
+    assert n_comp(forced) == 2
