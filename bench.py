@@ -38,6 +38,7 @@ HEADLINE = [
     "kg_mention_freqs_token_20k",
     "text_quality_metrics",
     "text_lang_id",
+    "text_winnow_fingerprints",
     "cc_components",
     "j10_asof_join",
     "w5_sessionize",

@@ -52,6 +52,26 @@ def token_count(col: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer regex, restricted to syntax Java's regex engine
+# and RE2 (the DuckDB oracle) treat identically: no lookarounds, ASCII
+# classes, leftmost-first alternation (both engines are leftmost-first, so
+# "don't" splits [don]["'t"] the same way).  Contractions, then
+# space-prefixed letter/digit/punct runs, then residual whitespace runs.
+BPEISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpeish_token_count(col: Column | str) -> Column:
+    """Count of GPT-2-ish pre-tokenizer segments (whole-match
+    regexp_extract_all; 0 for the empty string).  A cheap, deterministic
+    stand-in for a real BPE token count in pipeline budgeting — the segment
+    count upper-bounds the BPE token count at merge ratio 1."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPEISH_PATTERN), F.lit(0)))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.col(col) if isinstance(col, str) else col

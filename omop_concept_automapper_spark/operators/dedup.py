@@ -251,6 +251,90 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard_bp") >= int(threshold * 10000))
 
 
+# Packs (k-gram hash, reversed position) into one BIGINT for the winnowing
+# rightmost-min rule: hash < 2^30 and per-doc position < 2^30, so the packed
+# value stays < 2^60 (no bigint overflow in Spark ANSI mode or DuckDB).
+WINNOW_POS_MOD = 1 << 30
+
+
+def winnow_fingerprints(
+    docs: DataFrame, w: int = 4, shingle_size: int = 3
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): token k-gram hashes -> sliding window of ``w``
+    consecutive hashes -> rightmost minimum per window -> distinct
+    (position, hash) pairs per document.  Any shared token run of length
+    >= w + shingle_size - 1 between two documents is guaranteed to share
+    at least one fingerprint.
+
+    100 TB shape: map-only.  The entire selection runs as array HOFs inside
+    one projection — no window-function shuffle, no explode-groupBy — so
+    this is a pure scan like ``minhash_signatures`` (one row in, one
+    fingerprint-set row out, exploded only for the caller's output shape).
+
+    The rightmost-min tie rule is arithmetic, not procedural: minimizing
+    ``h * WINNOW_POS_MOD + (WINNOW_POS_MOD - 1 - pos)`` minimizes h and,
+    among equal h, maximizes pos.  Decode uses shiftright/bitwiseAND (2^30
+    modulus), never double division — packed values exceed the 53-bit
+    double mantissa.  Identical integer arithmetic renders in the DuckDB
+    oracle, so fingerprints hash-check bit-for-bit.
+    """
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    grams = toks.select(
+        "doc_id", _shingles(F.col("toks"), shingle_size).alias("grams")
+    )
+    # materialize the hash array BEFORE the windowing HOF captures it (see
+    # _shingles docstring: a captured non-attribute subtree re-evaluates per
+    # element — that would re-run md5 once per window slot, O(m*w) digests)
+    hashed = grams.select(
+        "doc_id",
+        F.transform(
+            F.col("grams"),
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+                F.lit(WINNOW_POS_MOD),
+            ),
+        ).alias("harr"),
+    )
+    packed = hashed.select(
+        "doc_id",
+        F.transform(
+            F.col("harr"),
+            lambda h, i: h * F.lit(WINNOW_POS_MOD)
+            + (F.lit(WINNOW_POS_MOD - 1) - i.cast("long")),
+        ).alias("carr"),
+    )
+    m = F.size(F.col("carr"))
+    # window starts 0..max(m-w, 0): m-w+1 full windows, or one (truncated)
+    # window covering the whole sequence when m <= w — short docs still get
+    # a fingerprint.  slice() clamps at the array end in both engines.
+    sel = packed.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
+                lambda p: F.array_min(F.slice(F.col("carr"), p + 1, w)),
+            )
+        ).alias("sel"),
+    )
+    # explode_outer, NOT explode: InferFiltersFromGenerate puts a
+    # size(sel) > 0 filter under a non-outer Generate, and predicate
+    # pushdown then inlines the entire winnow expression into a Filter on
+    # the raw text — where every lambda-captured subtree re-evaluates per
+    # element (O(m^2) md5 chains per doc; measured 24s for 500 docs vs
+    # 0.2s).  sel is never empty (>= 1 window per doc), so the outer
+    # variant is semantically identical and keeps the chain single-pass.
+    fp = sel.select("doc_id", F.explode_outer(F.col("sel")).alias("c"))
+    return fp.select(
+        "doc_id",
+        (
+            F.lit(WINNOW_POS_MOD - 1)
+            - F.col("c").bitwiseAND(F.lit(WINNOW_POS_MOD - 1))
+        ).alias("fp_pos"),
+        F.shiftright(F.col("c"), 30).alias("fp_hash"),
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns (JVM-side)."""
     dot = F.aggregate(

@@ -1,0 +1,131 @@
+"""Winnowing fingerprints + BPE-ish token counter (round-5 text additions).
+
+The winnowing engine path is pinned against a transparent pure-Python
+reference (same md5/packing arithmetic, procedural rightmost-min), plus the
+MOSS guarantee property; the BPE-ish counter against hand-computed segment
+counts.  Both gates are additionally oracle-checked bit-for-bit by the
+all-gate DuckDB mirror in test_entry_contract.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.functions.text import (
+    BPEISH_PATTERN,
+    bpeish_token_count,
+)
+from omop_concept_automapper_spark.operators.dedup import (
+    WINNOW_POS_MOD,
+    winnow_fingerprints,
+)
+
+
+def _py_winnow(text: str, w: int = 4, k: int = 3) -> set[tuple[int, int]]:
+    """Reference winnowing: procedural rightmost-min, no packing tricks."""
+    toks = text.strip().lower().split()
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    hashes = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % WINNOW_POS_MOD
+        for g in grams
+    ]
+    m = len(hashes)
+    out: set[tuple[int, int]] = set()
+    for start in range(max(m - w, 0) + 1):
+        window = hashes[start : start + w]
+        best = min(window)
+        # rightmost occurrence of the minimum
+        rel = max(i for i, h in enumerate(window) if h == best)
+        out.add((start + rel, best))
+    return out
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "a b"),  # fewer tokens than the shingle size -> one whole-doc gram
+    (2, "x x x x x x x x"),  # all-equal hashes exercise the rightmost tie rule
+    (3, "alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta"),
+    (4, "one two three four five six seven eight nine ten eleven twelve"),
+    (5, "  padded   whitespace\ttokens  split the same way  "),
+    (6, "solo"),
+]
+
+
+def test_winnow_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp_pos, r.fp_hash)
+        for r in winnow_fingerprints(docs, w=4).collect()
+    }
+    want = {
+        (doc_id, pos, h)
+        for doc_id, text in DOCS
+        for (pos, h) in _py_winnow(text, w=4)
+    }
+    assert got == want
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # MOSS guarantee: a shared token run of length >= w + k - 1 (= 6 here)
+    # yields at least one shared fingerprint hash.
+    shared = "zeta eta theta iota kappa lambda"
+    docs = spark.createDataFrame(
+        [
+            (0, f"left padding words {shared} trailing words here"),
+            (1, f"{shared} completely different continuation text"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, w=4)
+    per_doc = {
+        r.doc_id: r.hs
+        for r in fp.groupBy("doc_id")
+        .agg(F.collect_set("fp_hash").alias("hs"))
+        .collect()
+    }
+    assert set(per_doc[0]) & set(per_doc[1])
+
+
+def test_winnow_is_map_only(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bpeish_token_count_fixed_cases(spark):
+    cases = [
+        (0, "don't", 2),  # [don]["'t"]
+        (1, "hello world42!", 4),  # [hello][ world][42][!]
+        (2, "", 0),
+        (3, "   ", 1),  # one whitespace run
+        (4, "I'll re-read it", 6),  # [I]['ll][ re][-][read][ it]
+        (5, "a1b2", 4),  # letter/digit alternation splits
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", bpeish_token_count("text").alias("n")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bpeish_pattern_has_no_lookarounds():
+    # the oracle runs on RE2 (no lookarounds, no backrefs) — keep the
+    # pattern inside the Java∩RE2 dialect
+    for banned in ("(?=", "(?!", "(?<", "\\1"):
+        assert banned not in BPEISH_PATTERN
