@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         token_count,
     )
     from omop_concept_automapper_spark.operators.dedup import (
+        dedup_clusters,
         embedding_neardup_pairs,
         exact_duplicates,
         lsh_candidate_pairs,
@@ -458,6 +459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_neardup_pairs(
             _t(spark, sf, "embeddings"), threshold=0.3, n_planes=6
         )
+
+    def dedup_clusters_gate(spark, sf):
+        return dedup_clusters(_t(spark, sf, "documents"))
 
     # -------------------------------------------------- similarity suite
     def ann_topk_vec0(spark, sf):
@@ -1132,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_clusters": dedup_clusters_gate,  # NEW r5
         "ann_topk_vec0": ann_topk_vec0,
         "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "ann_knn_join": ann_knn_join,
@@ -1152,8 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_nation_revenue": j2_nation_revenue,
         "j10_asof_join": j10_asof_join,
         "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
-        "w5_sessionize": w5_sessionize,
         # ---------------- position >50: long-stable, mirror-covered ----
+        "w5_sessionize": w5_sessionize,
         "a7_status_rollup": a7_status_rollup,
         "a12_cube_counts": a12_cube_counts,
         "q6_filtered_revenue": q6_filtered_revenue,
@@ -1188,6 +1193,45 @@ _SHINGLES = (
     "list_transform(range(1, len({t}) - 1), i -> array_to_string(({t})[i:i+2], ' ')) "
     "ELSE [array_to_string({t}, ' ')] END"
 ).format(t=_TOKS)
+
+
+def _lsh_pairs_sql() -> str:
+    """DuckDB twin of dedup.lsh_candidate_pairs over minhash signatures
+    (4 bands x 2 rows, same md5 bucket key) — shared by the dedup_lsh_pairs
+    and dedup_clusters oracles."""
+    return f"""
+            WITH sigs AS ({_minhash_sig_sql()}),
+            bands AS (
+              SELECT doc_id, b AS band,
+                     md5(signature[2*b+1]::VARCHAR || '|' || signature[2*b+2]::VARCHAR) AS bucket
+              FROM sigs, UNNEST([0,1,2,3]) AS t(b))
+            SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Oracle for dedup_clusters: transitive closure of the LSH candidate
+    graph by recursive CTE, component label = min reachable doc_id;
+    singletons keep their own id.  Same semantics as connected_components
+    + min-label join, expressed declaratively for DuckDB."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+        und AS (
+          SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS BIGINT)
+                 AS is_keeper
+        FROM documents d LEFT JOIN comp c USING (doc_id)"""
 
 
 def _bpeish_sql_pattern() -> str:
@@ -1653,15 +1697,8 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_doc_id
             FROM documents GROUP BY 1""",
         "dedup_minhash_sigs": _minhash_sig_sql(as_string=True),
-        "dedup_lsh_pairs": f"""
-            WITH sigs AS ({_minhash_sig_sql()}),
-            bands AS (
-              SELECT doc_id, b AS band,
-                     md5(signature[2*b+1]::VARCHAR || '|' || signature[2*b+2]::VARCHAR) AS bucket
-              FROM sigs, UNNEST([0,1,2,3]) AS t(b))
-            SELECT DISTINCT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2
-            FROM bands l JOIN bands r
-              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+        "dedup_lsh_pairs": _lsh_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": f"""
             WITH tok AS (
               SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents),

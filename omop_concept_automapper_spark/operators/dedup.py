@@ -251,6 +251,54 @@ def ngram_jaccard_pairs(
     ).where(F.col("jaccard_bp") >= int(threshold * 10000))
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    shingle_size: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: the dedup family composed end to end.
+
+    MinHash signatures -> LSH banding candidate pairs -> connected
+    components over the candidate graph -> cluster id = min doc_id in the
+    component (docs with no candidate pair are their own singleton
+    cluster).  ``is_keeper`` = 1 for the canonical (minimum) doc of each
+    cluster — the row set a keep-one-per-cluster dedup pass would retain.
+
+    100 TB shape: signatures are map-only, banding is one bucket-equijoin,
+    and CC runs O(log n) rounds over candidate edges only (the candidate
+    graph is orders of magnitude smaller than the corpus; hub components
+    contract in one round via the large/small-star steps).  The final
+    label join is a long-keyed left join, broadcast-able whenever the
+    near-dup edge set is small relative to the corpus.
+    """
+    from omop_concept_automapper_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(docs, n_hashes=n_hashes, shingle_size=shingle_size),
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+    )
+    comp = connected_components(
+        pairs.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+    )
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).cast("long").alias("is_keeper"),
+        )
+    )
+
+
 # Packs (k-gram hash, reversed position) into one BIGINT for the winnowing
 # rightmost-min rule: hash < 2^30 and per-doc position < 2^30, so the packed
 # value stays < 2^60 (no bigint overflow in Spark ANSI mode or DuckDB).

@@ -124,6 +124,54 @@ def test_bpeish_token_count_fixed_cases(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_dedup_clusters_groups_duplicates_and_keeps_singletons(spark):
+    from omop_concept_automapper_spark.operators.dedup import dedup_clusters
+
+    dup_a = "the patient reported severe chest pain radiating to the left arm"
+    dup_b = "metformin five hundred milligrams twice daily with evening meals"
+    docs = spark.createDataFrame(
+        [
+            (10, dup_a),
+            (11, dup_a),  # exact dup of 10
+            (12, dup_a + " since early this morning"),  # near dup of 10
+            (20, dup_b),
+            (21, dup_b),  # exact dup of 20
+            (30, "completely unrelated text about spark physical planning"),
+            (31, "another standalone document with no duplicate partner"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(docs).collect()}
+    assert len(rows) == 7
+    # duplicates collapse to the min doc_id of their cluster
+    assert rows[10].cluster_id == rows[11].cluster_id == 10
+    assert rows[12].cluster_id == 10  # near-dup joins via shared shingles
+    assert rows[20].cluster_id == rows[21].cluster_id == 20
+    # singletons keep their own id and are their own keeper
+    for d in (30, 31):
+        assert rows[d].cluster_id == d and rows[d].is_keeper == 1
+    # exactly one keeper per cluster
+    keepers = [r.doc_id for r in rows.values() if r.is_keeper == 1]
+    assert sorted(keepers) == [10, 20, 30, 31]
+
+
+def test_dedup_clusters_empty_candidate_graph(spark):
+    # no shared shingles at all -> CC runs on an empty edge set and every
+    # doc must come back as its own singleton cluster
+    from omop_concept_automapper_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo"),
+            (2, "zulu yankee xray whiskey victor"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(docs).collect()}
+    assert rows[1].cluster_id == 1 and rows[1].is_keeper == 1
+    assert rows[2].cluster_id == 2 and rows[2].is_keeper == 1
+
+
 def test_bpeish_pattern_has_no_lookarounds():
     # the oracle runs on RE2 (no lookarounds, no backrefs) — keep the
     # pattern inside the Java∩RE2 dialect
