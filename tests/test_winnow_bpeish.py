@@ -70,6 +70,31 @@ def test_winnow_matches_python_reference(spark):
     assert got == want
 
 
+def test_winnow_matches_python_reference_randomized(spark):
+    # 40 seeded random docs over a 12-word alphabet: plenty of repeated
+    # grams/hash ties, lengths straddling both the short-doc and the
+    # multi-window regimes
+    import random
+
+    rng = random.Random("winnow-fuzz")
+    words = "a b c d e f g h i j k l".split()
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp_pos, r.fp_hash)
+        for r in winnow_fingerprints(sdf, w=4).collect()
+    }
+    want = {
+        (doc_id, pos, h)
+        for doc_id, text in docs
+        for (pos, h) in _py_winnow(text, w=4)
+    }
+    assert got == want
+
+
 def test_winnow_shared_run_guarantee(spark):
     # MOSS guarantee: a shared token run of length >= w + k - 1 (= 6 here)
     # yields at least one shared fingerprint hash.
