@@ -24,8 +24,12 @@ import numpy as np
 EMBED_DIM = 64
 _NGRAM = 3
 # Bump whenever the embedding function changes: vectors are a pure function
-# of (text, EMBEDDER_VERSION), and the link-config fingerprint folds this in
-# so persisted vector indexes are invalidated when the derivation changes.
+# of (text, EMBEDDER_VERSION).  The version is recorded in every
+# vocab_embeddings snapshot (stage re-embeds and OVERWRITES on mismatch),
+# folded into the link-config fingerprint (stale links recompute), and part
+# of the vocab-index content key (the no-op build check cannot serve
+# old-version vectors) — see plans/runner.py stage_vocab_embeddings /
+# stage_links.
 EMBEDDER_VERSION = 1
 
 

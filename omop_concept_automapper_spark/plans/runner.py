@@ -27,6 +27,7 @@ import json
 import os
 
 from omop_concept_automapper_spark.catalog import Warehouse
+from omop_concept_automapper_spark.functions.embedder import EMBEDDER_VERSION
 from omop_concept_automapper_spark.operators.knn import (
     build_vocab_index_files,
     link_mentions_file_index,
@@ -65,20 +66,62 @@ class Pipeline:
     def stage_vocab_embeddings(
         self, concept: DataFrame, relationship: DataFrame, ancestor: DataFrame
     ) -> DataFrame:
+        """Vocabulary embedding stage with EMBEDDER-VERSION invalidation.
+
+        Every snapshot records the ``EMBEDDER_VERSION`` that produced its
+        vectors.  A version bump makes the stored table STALE: the
+        stage-complete short-circuit and the ``already_embedded`` resume
+        anti-join are both bypassed, every concept is re-embedded, and the
+        table is OVERWRITTEN — without this, a bump merely forced a full
+        relink that read the same old vectors back out of the unchanged
+        index and reproduced the stale links (r5 self-review finding #1).
+        """
         tbl = self.wh.table("vocab_embeddings")
-        if self.wh.stage_complete("vocab_embeddings"):
+        recorded_v = self._recorded_embedder_version(tbl)
+        stale = tbl.exists() and recorded_v != EMBEDDER_VERSION
+        if self.wh.stage_complete("vocab_embeddings") and not stale:
             return tbl.read()
-        already = tbl.read() if tbl.exists() else None
+        already = tbl.read() if (tbl.exists() and not stale) else None
         fresh = build_vocab_embeddings(
             concept, relationship, ancestor,
             domain_filter=self.cfg.domain_filter,
             already_embedded=already,
         )
-        snap = tbl.append(fresh, metrics={"stage": "vocab_embeddings"})
+        vm = {"stage": "vocab_embeddings", "embedder_version": EMBEDDER_VERSION}
+        snap = tbl.overwrite(fresh, metrics=vm) if stale else tbl.append(
+            fresh, metrics=vm
+        )
         self.wh.mark_stage_complete(
             "vocab_embeddings", {"rows_appended": snap.rows_written}
         )
         return tbl.read()
+
+    @staticmethod
+    def _recorded_link_config(tbl) -> str | None:
+        """Last link_config fingerprint in the links table's snapshot
+        history (compact/expire snapshots don't carry metrics keys forward,
+        so reading only the head snapshot would misread a freshly-compacted
+        table as stale and trigger a spurious full relink)."""
+        if not tbl.exists():
+            return None
+        for snap in reversed(tbl.history()):
+            fp = (snap.metrics or {}).get("link_config")
+            if fp is not None:
+                return fp
+        return None
+
+    @staticmethod
+    def _recorded_embedder_version(tbl) -> int | None:
+        """Last embedder_version recorded in the table's snapshot history
+        (maintenance snapshots like compact don't carry it forward; a
+        pre-versioning warehouse has none at all and reads as stale)."""
+        if not tbl.exists():
+            return None
+        for snap in reversed(tbl.history()):
+            v = (snap.metrics or {}).get("embedder_version")
+            if v is not None:
+                return int(v)
+        return None
 
     def stage_mentions(
         self, transcripts: DataFrame, lexicon: list[dict]
@@ -120,12 +163,6 @@ class Pipeline:
         index, or linking serves stale maps-to-value drug filters — r4
         advice), and the embedder version standing in for the vector column
         (vectors are a pure function of (concept_name, EMBEDDER_VERSION))."""
-        import json
-
-        from omop_concept_automapper_spark.functions.embedder import (
-            EMBEDDER_VERSION,
-        )
-
         row = vocab_embeddings.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
@@ -158,8 +195,17 @@ class Pipeline:
         self, mentions: DataFrame, vocab_embeddings: DataFrame
     ) -> DataFrame:
         tbl = self.wh.table("links")
+        fp = self.link_config_fingerprint(vocab_embeddings)
         if self.wh.stage_complete("links"):
-            return tbl.read()
+            if self._recorded_link_config(tbl) == fp:
+                return tbl.read()
+            # stage completed under a DIFFERENT config / vocabulary /
+            # embedder version: the marker no longer proves freshness —
+            # recompute, and invalidate the graph derived from the stale
+            # links with it (a plain ``run`` rerun after an
+            # EMBEDDER_VERSION bump must propagate end-to-end without
+            # manual stage resets — r5 self-review finding #1)
+            self.wh.reset_stage("graph")
         # row-level resume (the reference's J1 unmapped work-queue applied
         # to linking, mapping.py:9-48): if a previous run committed a links
         # snapshot but crashed before marking the stage complete, only the
@@ -168,12 +214,9 @@ class Pipeline:
         # torn write.  Resume applies only when the recorded config/vocab
         # fingerprint matches; otherwise the snapshot is stale and the
         # stage recomputes from scratch.
-        fp = self.link_config_fingerprint(vocab_embeddings)
         already = tbl.read() if tbl.exists() else None
-        if already is not None:
-            prev_fp = (tbl.snapshot().metrics or {}).get("link_config")
-            if prev_fp != fp:
-                already = None
+        if already is not None and self._recorded_link_config(tbl) != fp:
+            already = None
         todo = mentions
         if already is not None:
             # quarantined rows (error IS NOT NULL) are excluded from the
@@ -209,7 +252,10 @@ class Pipeline:
         # (fp carries vocab_n/vocab_h): an unchanged vocabulary makes this
         # build a NO-OP (and keeps executor shard caches warm) instead of
         # rewriting an identical index on every stage_links call — r3
-        # verdict asks #4b/#5
+        # verdict asks #4b/#5.  The embedder version is part of the key:
+        # the index persists vectors, so a version bump must rebuild it
+        # even when the vocab rows are unchanged (r5 self-review finding
+        # #1 — without it the no-op check served version-1 vectors back).
         fp_d = json.loads(fp)
         build_vocab_index_files(
             vocab_embeddings.select(
@@ -217,7 +263,9 @@ class Pipeline:
             ),
             index_path,
             n_shards=int(self.cfg.extra.get("n_index_shards", 4)),
-            content_key=f"{fp_d['vocab_n']}:{fp_d['vocab_h']}",
+            content_key=(
+                f"{fp_d['vocab_n']}:{fp_d['vocab_h']}:e{fp_d['embedder_v']}"
+            ),
         )
         results = link_mentions_file_index(
             self.spark, todo, index_path,

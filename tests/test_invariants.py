@@ -372,6 +372,40 @@ def test_incremental_vocab_embedding_resume(spark, tmp_path):
     assert full.select("concept_id").distinct().count() == n2
 
 
+def test_embedder_version_bump_reembeds_and_rebuilds_index(spark, tmp_path, monkeypatch):
+    """A bumped EMBEDDER_VERSION must (a) bypass the stage-complete
+    short-circuit and the already-embedded resume, re-embedding EVERY
+    concept via an overwrite, and (b) change the vocab-index content key so
+    the no-op build check rebuilds instead of serving old-version vectors
+    (r5 self-review finding #1)."""
+    import json as _json
+    import os as _os
+
+    wh_path = str(tmp_path / "wh")
+    wh, _ = _run(spark, wh_path)
+    tbl = wh.table("vocab_embeddings")
+    n1 = tbl.read().count()
+    assert Pipeline._recorded_embedder_version(tbl) is not None
+    man_path = _os.path.join(wh.root, "vocab_index", "manifest.json")
+    with open(man_path) as f:
+        key1 = _json.load(f)["content_key"]
+
+    monkeypatch.setattr(
+        "omop_concept_automapper_spark.plans.runner.EMBEDDER_VERSION", 999
+    )
+    wh2, _ = _run(spark, wh_path)  # same warehouse, new embedder version
+    tbl2 = wh2.table("vocab_embeddings")
+    assert Pipeline._recorded_embedder_version(tbl2) == 999
+    # full re-embed replaced the table: overwrite, same concepts, no dups
+    assert tbl2.history()[-1].operation == "overwrite"
+    assert tbl2.read().count() == n1
+    assert tbl2.read().select("concept_id").distinct().count() == n1
+    # index content key rotated -> the build was NOT a no-op
+    with open(man_path) as f:
+        key2 = _json.load(f)["content_key"]
+    assert key2 != key1 and key2.endswith(":e999")
+
+
 def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     """Partition-scoped MERGE: untouched buckets' data dirs must be REUSED
     (same paths) in the new snapshot manifest — merge cost O(touched
