@@ -234,8 +234,10 @@ def ivf_topk(
     trained once on a SAMPLE (a multi-pass k-means fit over the full table
     would dominate query cost at 10^9 vectors — round-2 verdict defect #2;
     ``fit_sample_rows`` bounds the fit input via the partition-independent
-    rule ``vec_id % ceil(n / fit_sample_rows) == 0`` — never
-    ``DataFrame.sample``, whose seeded output varies with layout), every
+    rule ``vec_id % ceil(n / fit_sample_rows) == 0``, with a first-N-by-id
+    fallback when the modulo rule is starved by a degenerate id
+    distribution — never ``DataFrame.sample``, whose seeded output varies
+    with layout; see ``_sampled_quantizer``), every
     vector is assigned a list id (map-only), and a query touches
     n_probe/n_centroids of the data via a cluster-id equijoin instead of a
     full scan.
@@ -259,36 +261,9 @@ def ivf_topk(
     """
     n_rows = embeddings.count()
     mod = max(1, -(-n_rows // fit_sample_rows))  # ceil: expected <= sample
-    sample_pdf = (
-        embeddings.where(F.pmod("vec_id", F.lit(mod)) == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .toPandas()
+    cent, assigned = _sampled_quantizer(
+        spark, embeddings, mod, n_centroids, seed, fit_sample_rows
     )
-    sample = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in sample_pdf["embedding"]]
-    )
-    cent = integer_kmeans(sample, n_centroids, seed)
-    bc = spark.sparkContext.broadcast(cent)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "cluster": assign_euclidean(X, c).astype(np.int32),
-                }
-            )
-
-    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, cluster int"
-    ).join(embeddings.select("vec_id", "embedding"), "vec_id")
 
     q_rows = (
         embeddings.where(F.col("vec_id").isin([int(i) for i in query_ids]))
@@ -324,6 +299,82 @@ def ivf_topk(
     )
 
 
+def _sampled_quantizer(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    mod: int,
+    n_centroids: int,
+    seed: int,
+    fallback_rows: int,
+) -> tuple[np.ndarray, DataFrame]:
+    """Deterministic sampled quantizer fit + map-only cluster assignment —
+    shared by :func:`ivf_topk` and :func:`ivf_recall_report`, which
+    previously duplicated this ~25-line chain (r5 self-review finding #6).
+
+    Sample rule: ``vec_id % mod == 0`` — partition-independent and
+    mirrorable in the pure-numpy oracle twins.  The rule assumes ids hit
+    multiples of ``mod``; a degenerate corpus (e.g. all-odd vec_ids with an
+    even ``mod``) would otherwise leave an EMPTY sample and crash the fit
+    (finding #2), so when it yields fewer than ``n_centroids`` rows the fit
+    falls back to the first ``fallback_rows`` rows by vec_id asc
+    (TakeOrderedAndProject — still deterministic, layout-independent and
+    oracle-expressible; the oracles are sorted by vec_id so ``[:n]`` is the
+    same rule).
+
+    Returns ``(centroids, assigned)`` with assigned = (vec_id, cluster,
+    embedding)."""
+    sample_pdf = (
+        embeddings.where(F.pmod("vec_id", F.lit(mod)) == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    if len(sample_pdf) < n_centroids:
+        sample_pdf = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(fallback_rows)
+            .toPandas()
+        )
+    sample = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf["embedding"]]
+    )
+    cent = integer_kmeans(sample, n_centroids, seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cluster": assign_euclidean(X, c).astype(np.int32),
+                }
+            )
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, cluster int"
+    ).join(embeddings.select("vec_id", "embedding"), "vec_id")
+    return cent, assigned
+
+
+def _oracle_sample(
+    vectors: np.ndarray, vec_ids: np.ndarray, mod: int, n_centroids: int,
+    fallback_rows: int,
+) -> np.ndarray:
+    """Numpy twin of ``_sampled_quantizer``'s two-step sample rule
+    (``vectors`` must already be sorted by vec_id asc)."""
+    sample = vectors[vec_ids % mod == 0]
+    if len(sample) < n_centroids:
+        sample = vectors[:fallback_rows]
+    return sample
+
+
 def sequential_ivf_topk(
     vec_ids: np.ndarray,
     vectors: np.ndarray,
@@ -333,17 +384,20 @@ def sequential_ivf_topk(
     n_probe: int = 4,
     fit_sample_rows: int = 100_000,
     seed: int = 42,
-) -> list[tuple[int, int, int, int]]:
-    """Sequential oracle twin of ``ivf_topk``: same sample rule, same
-    integer-snapped quantizer, same euclidean probe and cosine-bp top-k.
-    Returns sorted (query_id, vec_id, rank, cosine_bp) rows."""
+) -> list[tuple[int, int, int, int | None]]:
+    """Sequential oracle twin of ``ivf_topk``: same sample rule (incl. the
+    thin-sample fallback), same integer-snapped quantizer, same euclidean
+    probe and cosine-bp top-k; zero-norm pairs yield a None cosine_bp that
+    sorts last, mirroring the engine's try_divide NULL.
+    Returns (query_id, vec_id, rank, cosine_bp) rows sorted by (qid, vid)."""
     order = np.argsort(vec_ids)
     vec_ids, vectors = vec_ids[order], np.asarray(vectors, dtype=np.float64)[order]
     mod = max(1, -(-len(vec_ids) // fit_sample_rows))
-    cent = integer_kmeans(vectors[vec_ids % mod == 0], n_centroids, seed)
+    cent = integer_kmeans(
+        _oracle_sample(vectors, vec_ids, mod, n_centroids, fit_sample_rows),
+        n_centroids, seed,
+    )
     assign = assign_euclidean(vectors, cent)
-    norms = np.linalg.norm(vectors, axis=1)
-    norms[norms == 0] = 1.0
 
     out: list[tuple[int, int, int, int]] = []
     for qid in query_ids:
@@ -353,8 +407,11 @@ def sequential_ivf_topk(
         sel = np.isin(assign, probed) & (vec_ids != qid)
         idx = np.flatnonzero(sel)
         # mirror cosine_col's left-to-right double accumulation exactly,
-        # and Spark's ROUND (half away from zero, not banker's rounding)
-        def cos_bp(i: int) -> int:
+        # and Spark's ROUND (half away from zero, not banker's rounding);
+        # a zero-norm pair mirrors try_divide's NULL (finding #5 — the
+        # previous raw division raised ValueError on int(nan) here while
+        # the engine threw DIVIDE_BY_ZERO under ANSI)
+        def cos_bp(i: int) -> int | None:
             import math
 
             dot = 0.0
@@ -367,15 +424,27 @@ def sequential_ivf_topk(
                 na += x * x
             for y in b:
                 nb += y * y
+            if na == 0.0 or nb == 0.0:
+                return None  # engine: try_divide -> NULL, sorts last desc
             v = dot / (np.sqrt(na) * np.sqrt(nb)) * 10000
             return int(math.copysign(math.floor(abs(v) + 0.5), v))
-        bps = np.asarray([cos_bp(i) for i in idx])
-        order_ = np.lexsort((vec_ids[idx], -bps))[: min(k, len(idx))]
+        bps = [cos_bp(i) for i in idx]
+        # Spark desc ordering puts NULL last; ties break on vec_id asc
+        order_ = sorted(
+            range(len(idx)),
+            key=lambda j: (
+                bps[j] is None,
+                -bps[j] if bps[j] is not None else 0,
+                int(vec_ids[idx][j]),
+            ),
+        )[: min(k, len(idx))]
         for rank, j in enumerate(order_, start=1):
+            bp = bps[j]
             out.append(
-                (int(qid), int(vec_ids[idx][j]), rank, int(bps[j]))
+                (int(qid), int(vec_ids[idx][j]), rank,
+                 None if bp is None else int(bp))
             )
-    return sorted(out)
+    return sorted(out, key=lambda t: (t[0], t[1]))
 
 
 def integer_kmeans(
@@ -434,13 +503,15 @@ def ivf_recall_report(
     n_probe: int = 4,
     seed: int = 42,
     sample_mod: int = 4,
+    fallback_rows: int = 100_000,
 ) -> DataFrame:
     """Per-query recall of the SAMPLE-FITTED approximate IVF path vs exact
     brute force — the observability gate for the approximate knob.
 
     * quantizer: ``integer_kmeans`` fit on the deterministic sampled
       subset ``vec_id % sample_mod == 0`` (driver memory is O(sample),
-      never O(table) — the round-1/2 full-fit scale defect);
+      never O(table) — the round-1/2 full-fit scale defect; thin-sample
+      fallback per ``_sampled_quantizer``);
     * assignment: map-only distributed pass against broadcast centroids
       (integer-exact, so partitioning cannot flip an assignment);
     * query probes the ``n_probe`` nearest lists (cluster-id equijoin);
@@ -451,35 +522,9 @@ def ivf_recall_report(
     emitted recall is a pure function of (data, seed, knobs) — pinnable as
     golden VALUES (``sequential_ivf_recall`` is the oracle twin).
     """
-    sample_pdf = (
-        embeddings.where(F.pmod("vec_id", F.lit(sample_mod)) == 0)
-        .orderBy("vec_id")
-        .toPandas()
+    cent, assigned = _sampled_quantizer(
+        spark, embeddings, sample_mod, n_centroids, seed, fallback_rows
     )
-    sample = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in sample_pdf["embedding"]]
-    )
-    cent = integer_kmeans(sample, n_centroids, seed)
-    bc = spark.sparkContext.broadcast(cent)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                    "cluster": assign_euclidean(X, c).astype(np.int32),
-                }
-            )
-
-    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, cluster int"
-    ).join(embeddings.select("vec_id", "embedding"), "vec_id")
 
     q_rows = (
         embeddings.where(F.col("vec_id").isin([int(i) for i in query_ids]))
@@ -542,14 +587,17 @@ def sequential_ivf_recall(
     n_probe: int = 4,
     seed: int = 42,
     sample_mod: int = 4,
+    fallback_rows: int = 100_000,
 ) -> dict[int, int]:
-    """Oracle twin of ``ivf_recall_report``: same sample rule, same shared
-    quantizer, sequential assignment/probe/top-k.
-    Returns {query_id: recall_bp}."""
+    """Oracle twin of ``ivf_recall_report``: same sample rule (incl. the
+    thin-sample fallback), same shared quantizer, sequential
+    assignment/probe/top-k.  Returns {query_id: recall_bp}."""
     order = np.argsort(vec_ids)
     vec_ids, vectors = vec_ids[order], vectors[order]
-    mask = (vec_ids % sample_mod) == 0
-    cent = integer_kmeans(vectors[mask], n_centroids, seed)
+    cent = integer_kmeans(
+        _oracle_sample(vectors, vec_ids, sample_mod, n_centroids, fallback_rows),
+        n_centroids, seed,
+    )
     assign = assign_euclidean(vectors, cent)
 
     out: dict[int, int] = {}

@@ -354,3 +354,85 @@ def test_ivf_approx_matches_sequential_twin_any_layout(spark, n_rows, dim):
         ).collect()
     )
     assert exact != want
+
+
+def test_ivf_thin_sample_fallback_on_sparse_ids(spark):
+    """r5 self-review finding #2: a corpus whose vec_ids avoid multiples of
+    the sample modulus used to leave the quantizer fit with an EMPTY sample
+    and crash in integer_kmeans/assign_euclidean.  All-odd ids with a
+    fit_sample_rows that forces mod=2 must fall back to the first-N-by-id
+    sample, run, and still match the sequential oracle twin exactly."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        ivf_topk,
+        sequential_ivf_topk,
+    )
+
+    n, dim, k = 400, 6, 4
+    emb = spark.range(n).select(
+        (F.col("id") * 2 + 1).alias("vec_id"),  # every id ODD
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(5))
+                .cast("double")
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    qids = [1, 3, 5]
+    # mod = ceil(400/200) = 2; odd % 2 == 1 -> the modulo rule matches
+    # ZERO rows -> fallback must engage
+    got = ivf_topk(
+        spark, emb, qids, k=k, n_centroids=4, n_probe=2, fit_sample_rows=200
+    )
+    rows = got.collect()
+    assert rows
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    oracle = sequential_ivf_topk(
+        pdf["vec_id"].to_numpy(np.int64),
+        np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]),
+        qids, k=k, n_centroids=4, n_probe=2, fit_sample_rows=200,
+    )
+    got_t = sorted(
+        ((r["query_id"], r["vec_id"], r["rank"], r["cosine_bp"]) for r in rows),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got_t == oracle
+
+
+def test_zero_norm_vector_yields_null_cosine_not_error(spark):
+    """r5 self-review finding #5: under Spark's default ANSI mode a
+    zero-norm embedding made cosine_col throw DIVIDE_BY_ZERO, while the
+    sequential oracle raised ValueError on int(nan).  Both twins now agree:
+    the pair's cosine is NULL/None and sorts after every real similarity."""
+    from omop_concept_automapper_spark.operators.dedup import cosine_col
+    from omop_concept_automapper_spark.operators.similarity import (
+        ivf_topk,
+        sequential_ivf_topk,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 2.0]),
+        (1, [2.0, 1.0, 2.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm
+        (3, [2.0, 2.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    zero = F.array(*[F.lit(0.0)] * 3)
+    cos_rows = emb.select(cosine_col(F.col("embedding"), zero).alias("c")).collect()
+    assert all(r["c"] is None for r in cos_rows)  # NULL, never an exception
+
+    got = ivf_topk(spark, emb, [0], k=3, n_centroids=4, n_probe=4)
+    got_t = sorted(
+        ((r["query_id"], r["vec_id"], r["rank"], r["cosine_bp"])
+         for r in got.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    oracle = sequential_ivf_topk(
+        np.asarray([r[0] for r in rows], dtype=np.int64),
+        np.asarray([r[1] for r in rows], dtype=np.float64),
+        [0], k=3, n_centroids=4, n_probe=4,
+    )
+    assert got_t == oracle
+    # the zero vector is present, last, with a NULL similarity
+    by_rank = sorted(got_t, key=lambda t: t[2])
+    assert by_rank[-1][1] == 2 and by_rank[-1][3] is None
