@@ -94,8 +94,9 @@ def main() -> None:
     timings["kg_canonicalize"] = kg["sec_canonicalize"]
 
     # O(delta) incremental fold (r4 verdict ask #7): fold a 1% batch into a
-    # warehouse built from the same conversation count; the from-scratch
-    # run over the union is the denominator of the delta ratio
+    # warehouse built from the same conversation count; the timed BASE
+    # build is the denominator of the delta ratio (conservative by the 1%
+    # the union would add — see run_delta_fold_bench's docstring)
     from omop_concept_automapper_spark.benchkit import run_delta_fold_bench
 
     work_delta = tempfile.mkdtemp(prefix="kg_delta_")
@@ -168,7 +169,7 @@ def main() -> None:
         "kg_turns_per_sec_fileidx": kg["turns_per_sec_fileidx"],
         "kg_turns_per_sec_e2e": kg["turns_per_sec_e2e"],
         "kg_edges": kg["edges"],
-        "kg_delta_from_scratch_sec": dd["sec_from_scratch"],
+        "kg_delta_from_scratch_base_sec": dd["sec_from_scratch_base"],
         "kg_delta_ratio": dd["delta_ratio"],
         "kg_delta_scan_ratio": dd["delta_scan_ratio"],
         "kg_delta_dim_path": dd["dim_path"],

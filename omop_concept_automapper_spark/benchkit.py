@@ -212,15 +212,22 @@ def run_delta_fold_bench(
     seed: int = 42,
 ) -> dict:
     """O(delta) incremental-fold evidence on the bench board (r4 verdict
-    ask #7): build a warehouse from ``n_conversations`` (untimed), TIME
-    ``run_incremental`` folding a ``delta_frac`` batch of NEW
-    conversations, and TIME a from-scratch ``run`` over the union in a
-    second warehouse.  Reports both seconds, the delta/from-scratch ratio
-    (the O(delta) claim: ratio << delta's share would be impossible, but
-    ratio well under ~0.1 at a 1% batch shows per-fold work tracks the
-    batch, not the history), and the scan-volume proxy — the dim update's
-    recorded path ('delta' = only appended occurrence dirs were aggregated)
-    plus how many occurrence rows that was."""
+    ask #7): TIME a from-scratch ``run`` over the ``n_conversations`` base
+    corpus, then TIME ``run_incremental`` folding a ``delta_frac`` batch of
+    NEW conversations into that same warehouse.
+
+    The denominator is the BASE build, not a separate run over the
+    base+delta union: the base run is the identical pipeline over a corpus
+    ``delta_frac`` smaller than the union, so the reported ratio is
+    conservative by that margin and the bench pays ONE full run instead of
+    two (metric key ``sec_from_scratch_base`` says so explicitly — r5
+    self-review finding #3 flagged the old name/docstring for claiming a
+    union run that never happened).  Reports both seconds, the
+    delta/from-scratch-base ratio (well under ~0.1 at a 1% batch shows
+    per-fold work tracks the batch, not the history), and the scan-volume
+    proxy — the dim update's recorded path ('delta' = only appended
+    occurrence dirs were aggregated) plus how many occurrence rows that
+    was."""
     from omop_concept_automapper_spark.catalog import Warehouse
     from omop_concept_automapper_spark.plans.runner import (
         Pipeline,
@@ -243,10 +250,6 @@ def run_delta_fold_bench(
 
     wh = Warehouse(spark, os.path.join(work_dir, "wh_inc"))
     pipe = Pipeline(spark, wh, PipelineConfig())
-    # the timed base build doubles as the from-scratch denominator — it is
-    # the identical pipeline over a corpus 1% smaller than the union, so
-    # the ratio is conservative by that 1% and the bench pays ONE full run
-    # instead of two
     t_full, _ = timed(lambda: pipe.run(base_df, *vocab, lexicon))
     t_delta, _ = timed(
         lambda: pipe.run_incremental(delta_df, *vocab, lexicon)
@@ -258,7 +261,8 @@ def run_delta_fold_bench(
         "n_base_convs": n_conversations,
         "n_delta_convs": n_delta,
         "sec_delta_fold": round(t_delta, 3),
-        "sec_from_scratch": round(t_full, 3),
+        # base-corpus build (the union is delta_frac larger; see docstring)
+        "sec_from_scratch_base": round(t_full, 3),
         # wall-clock ratio: bounded below by local-mode fixed job latency
         # (~15 catalog/probe jobs per fold), which is CONSTANT in corpus
         # size — the scan ratio below is the latency-free O(delta) signal
