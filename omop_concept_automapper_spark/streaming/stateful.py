@@ -127,10 +127,18 @@ def _make_dedup_event_ttl_fn(ttl_ms: int):
     The staleness clock is the data's own ``ts`` column, never the wall
     clock: a sighting re-emits iff its event time is more than ``ttl_ms``
     after the key's previous sighting (sightings refresh the TTL — sliding
-    expiry).  Rows are walked in (ts, doc_id) order, so classification is a
-    pure function of the data — checkpoint replays reproduce it exactly,
-    unlike the processing-time variant whose ``time.time()`` can classify a
-    replayed row differently.  Eviction uses ``EventTimeTimeout``: the
+    expiry).  Determinism, stated precisely (r5 self-review finding #4):
+    classification is a pure function of the MICROBATCH SEQUENCE — rows
+    are walked in (ts, doc_id) order within each batch and the state holds
+    the max event time seen, so a checkpoint replay of the same batches
+    reproduces the output exactly, unlike the processing-time variant
+    whose ``time.time()`` can classify a replayed row differently.  It is
+    NOT independent of how rows land in batches when they arrive OUT OF
+    event-time ORDER: an earlier-ts sighting arriving in a later batch is
+    judged against the already-advanced last-seen time, whereas in the
+    same batch the sort would have made it the first-seen emitter — only
+    event-time-ordered arrival makes the emit set a pure function of the
+    data alone.  Eviction uses ``EventTimeTimeout``: the
     marker is dropped once the WATERMARK passes last_seen + ttl, at which
     point every arriving row is either stale in-band (ts > last_seen + ttl
     re-emits anyway) or below the watermark (dropped as late data) — so
