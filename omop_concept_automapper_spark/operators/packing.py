@@ -48,9 +48,19 @@ def global_running_total(
 
     ``order_cols`` must be a total order (a unique key such as doc_id) —
     ties straddling a partition boundary would make the split ambiguous.
-    The driver materializes only the per-(partition, group) partial sums.
+    ``value_col`` must be integral: the driver-side offset fold is exact
+    long arithmetic, and a fractional column would silently truncate per-
+    partition totals (callers sum token counts and row counts; cast a
+    fractional weight to a fixed-point integer first).  The driver
+    materializes only the per-(partition, group) partial sums.
     """
     group_cols = list(group_cols or [])
+    vtype = dict(df.dtypes)[value_col]
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_running_total needs an integral value_col; {value_col} "
+            f"is {vtype} (cast fractional weights to fixed-point longs)"
+        )
     part_cols = group_cols + list(order_cols)
     # an explicit partition count pins the range-exchange width (AQE may
     # otherwise coalesce small inputs); at scale, size it so a partition's
@@ -84,11 +94,11 @@ def global_running_total(
         running[g] = running.get(g, 0) + int(r["_part_total"])
 
     spark = df.sparkSession
-    gfields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in staged.schema.fields
-        if f.name in group_cols
-    )
+    # schema fields MUST follow group_cols order — the row tuples do, and
+    # a schema in DataFrame-column order would silently bind multi-column
+    # groups to the wrong fields
+    ftypes = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
+    gfields = ", ".join(f"{c} {ftypes[c]}" for c in group_cols)
     schema = "_pid int" + (", " + gfields if gfields else "") + ", _offset long"
     off_df = spark.createDataFrame(rows, schema)
 

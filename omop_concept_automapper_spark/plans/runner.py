@@ -204,7 +204,12 @@ class Pipeline:
             # recompute, and invalidate the graph derived from the stale
             # links with it (a plain ``run`` rerun after an
             # EMBEDDER_VERSION bump must propagate end-to-end without
-            # manual stage resets — r5 self-review finding #1)
+            # manual stage resets — r5 self-review finding #1).  Dropping
+            # the links marker too makes a crash mid-recompute land on the
+            # ordinary incomplete-stage resume instead of short-circuiting
+            # past the quarantine rewrite (the links overwrite records the
+            # NEW fingerprint, so the marker alone would read as fresh).
+            self.wh.reset_stage("links")
             self.wh.reset_stage("graph")
         # row-level resume (the reference's J1 unmapped work-queue applied
         # to linking, mapping.py:9-48): if a previous run committed a links

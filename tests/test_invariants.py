@@ -406,6 +406,39 @@ def test_embedder_version_bump_reembeds_and_rebuilds_index(spark, tmp_path, monk
     assert key2 != key1 and key2.endswith(":e999")
 
 
+def test_stale_links_recompute_resets_marker_before_compute(
+    spark, tmp_path, monkeypatch
+):
+    """When a COMPLETED links stage is found stale (fingerprint changed),
+    the marker must be dropped before recomputing: the relink's overwrite
+    records the NEW fingerprint, so a crash between that commit and the
+    quarantine rewrite would otherwise leave a marker that reads as fresh
+    on the rerun and short-circuits past the quarantine table forever."""
+    wh, _ = _run(spark, wh_path=str(tmp_path / "wh"))
+    pipe = Pipeline(spark, wh, PipelineConfig())
+    assert wh.stage_complete("links")
+    monkeypatch.setattr(
+        "omop_concept_automapper_spark.plans.runner.EMBEDDER_VERSION", 999
+    )
+
+    import pytest
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated mid-relink crash")
+
+    monkeypatch.setattr(
+        "omop_concept_automapper_spark.plans.runner.link_mentions_file_index",
+        boom,
+    )
+    mentions = wh.table("mentions").read()
+    vocab = wh.table("vocab_embeddings").read()
+    with pytest.raises(RuntimeError, match="simulated"):
+        pipe.stage_links(mentions, vocab)
+    # the marker fell with the stale detection, so the rerun takes the
+    # ordinary incomplete-stage path (quarantine rewrite included)
+    assert not wh.stage_complete("links")
+
+
 def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     """Partition-scoped MERGE: untouched buckets' data dirs must be REUSED
     (same paths) in the new snapshot manifest — merge cost O(touched

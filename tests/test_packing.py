@@ -119,3 +119,28 @@ def test_mixture_interleave_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
         mixture_interleave(df, {"a": 0})
+
+
+def test_global_running_total_multi_group_binding(spark):
+    """Offsets schema must follow group_cols order, not DataFrame column
+    order — columns here are deliberately laid out (b, a, ...) while the
+    call groups by ['a', 'b'] to catch wrong-field binding."""
+    df = spark.createDataFrame(
+        [(f"b{i % 2}", f"a{i % 3}", i, 1) for i in range(600)],
+        "b string, a string, k long, v int",
+    )
+    got = (
+        global_running_total(df, "v", ["k"], group_cols=["a", "b"])
+        .orderBy("k")
+        .toPandas()
+    )
+    want = got.groupby(["a", "b"])["v"].cumsum()
+    assert got["_cum"].tolist() == want.tolist()
+
+
+def test_global_running_total_rejects_fractional_values(spark):
+    """The driver-side offset fold is exact long arithmetic; fractional
+    value columns must be rejected, not silently truncated."""
+    df = spark.createDataFrame([(1, 0.5)], "k long, v double")
+    with pytest.raises(TypeError):
+        global_running_total(df, "v", ["k"])
