@@ -623,6 +623,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, {"src0": 6, "src1": 3, "src2": 1}
         )
 
+    def corpus_assembly_gate(spark, sf):
+        # NEW r5: the training-corpus pipeline composed end to end —
+        # quality gate -> near-dup keeper -> mixture schedule -> packed
+        # chunk routing (plans/corpus.py); every stage's SQL twin chained
+        # in one oracle
+        from omop_concept_automapper_spark.plans.corpus import assemble_corpus
+
+        return assemble_corpus(_t(spark, sf, "documents"))
+
     # --------------------------------------------------------- graph
     def cc_components(spark, sf):
         li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
@@ -1122,10 +1131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot covers
     # only the first 50 entries. The r5-NEW gates (kg_mention_freqs_token_20k,
     # ann_ivf_approx, text_winnow_fingerprints, text_bpeish_tokens,
-    # pack_sequences, mixture_interleave) and the three whose oracles changed
-    # this round (the minhash family) sit inside the window; every demoted
-    # gate was driver-green in at least one earlier round and stays covered
-    # by the in-repo all-gate mirror (tests/test_entry_contract.py).
+    # pack_sequences, mixture_interleave, corpus_assembly) and the three whose
+    # oracles changed this round (the minhash family) sit inside the window;
+    # every demoted gate was driver-green in at least one earlier round and
+    # stays covered by the in-repo all-gate mirror (tests/test_entry_contract.py).
     return {
         # --- KG gates first driver-checked in r4, NEW r5 gates beside them
         "kg_mention_freqs": kg_mention_freqs,
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpeish_tokens": text_bpeish_tokens,  # NEW r5
         "pack_sequences": pack_sequences_gate,  # NEW r5
         "mixture_interleave": mixture_interleave_gate,  # NEW r5
+        "corpus_assembly": corpus_assembly_gate,  # NEW r5
         "cc_components": cc_components,
         # --- representative relational slice (driver-green r2+r3) ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -1221,12 +1231,12 @@ _SHINGLES = (
 ).format(t=_TOKS)
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(table: str = "documents") -> str:
     """DuckDB twin of dedup.lsh_candidate_pairs over minhash signatures
-    (4 bands x 2 rows, same md5 bucket key) — shared by the dedup_lsh_pairs
-    and dedup_clusters oracles."""
+    (4 bands x 2 rows, same md5 bucket key) — shared by the dedup_lsh_pairs,
+    dedup_clusters and corpus_assembly oracles."""
     return f"""
-            WITH sigs AS ({_minhash_sig_sql()}),
+            WITH sigs AS ({_minhash_sig_sql(table=table)}),
             bands AS (
               SELECT doc_id, b AS band,
                      md5(signature[2*b+1]::VARCHAR || '|' || signature[2*b+2]::VARCHAR) AS bucket
@@ -1258,6 +1268,62 @@ def _dedup_clusters_sql() -> str:
                CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS BIGINT)
                  AS is_keeper
         FROM documents d LEFT JOIN comp c USING (doc_id)"""
+
+
+# DuckDB twin of functions.text.quality_score rounded to basis points —
+# identical double expression to the Spark column, rounded to a long before
+# any compare so threshold cuts are ulp-safe.
+_QUALITY_BP_SQL = """CAST(ROUND(least(length(text) / 500.0, 1.0) *
+    (1.0 - CASE WHEN length(text) > 0
+     THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text)
+     ELSE 0 END) * 10000) AS BIGINT)"""
+
+
+def _corpus_assembly_sql() -> str:
+    """Oracle for plans/corpus.py assemble_corpus: quality gate ->
+    LSH-cluster keeper -> weighted mixture schedule -> packed chunk
+    routing, each stage the exact SQL twin of its Spark counterpart
+    (quality bp / minhash+LSH+transitive closure / k*scale//w interleave /
+    running-sum window with // chunk division)."""
+    return f"""
+        WITH RECURSIVE qdocs AS (
+          SELECT * FROM documents WHERE {_QUALITY_BP_SQL} >= 5000),
+        pairs AS ({_lsh_pairs_sql(table="qdocs")}),
+        und AS (
+          SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+          UNION SELECT doc_id_2, doc_id_1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        comp AS (
+          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          FROM reach GROUP BY a),
+        kept AS (
+          SELECT d.* FROM qdocs d LEFT JOIN comp c USING (doc_id)
+          WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id),
+        w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2),
+                                 ('src3', 1), ('src4', 1)),
+        sched AS (
+          SELECT d.doc_id, d.source,
+                 (ROW_NUMBER() OVER (PARTITION BY d.source
+                                     ORDER BY d.doc_id) * 1000000) // w.wt
+                   AS interleave_key,
+                 CAST(CASE WHEN trim(d.text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM kept d JOIN w USING (source)),
+        cum AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(interleave_key AS BIGINT) AS interleave_key,
+                 SUM(n_tokens) OVER (ORDER BY interleave_key, source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+          FROM sched WHERE n_tokens > 0)
+        SELECT doc_id, source, n_tokens, interleave_key,
+               CAST(cume - n_tokens AS BIGINT) AS start_off,
+               CAST((cume - n_tokens) // 256 AS BIGINT) AS first_chunk,
+               CAST((cume - 1) // 256 AS BIGINT) AS last_chunk
+        FROM cum"""
 
 
 def _bpeish_sql_pattern() -> str:
@@ -1299,7 +1365,7 @@ def _winnow_sql(w: int = 4) -> str:
         FROM (SELECT doc_id, unnest(sel) AS u FROM s)"""
 
 
-def _minhash_sig_sql(as_string: bool = False) -> str:
+def _minhash_sig_sql(as_string: bool = False, table: str = "documents") -> str:
     """DuckDB twin of operators/dedup.py minhash_signatures: one md5 per
     shingle, per-seed values by arithmetic mixing of the digest's two
     leading 32-bit halves — same constants, bit-identical signatures."""
@@ -1319,7 +1385,7 @@ def _minhash_sig_sql(as_string: bool = False) -> str:
         f"SELECT doc_id, {sig} AS signature FROM ("
         f"  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,"
         f"         ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2"
-        f"  FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents))"
+        f"  FROM (SELECT doc_id, unnest({_SHINGLES}) AS s FROM {table}))"
         f" GROUP BY doc_id"
     )
 
@@ -1866,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST((source_seq * 1000000) // wt AS BIGINT)
                      AS interleave_key
             FROM rn""",
+        "corpus_assembly": _corpus_assembly_sql(),
         "s1_csv_import": f"""
             SELECT source_value, source_concept_name,
                    CAST(7 AS INTEGER) AS source_vocabulary_id,

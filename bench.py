@@ -41,6 +41,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "pack_sequences",
     "mixture_interleave",
+    "corpus_assembly",
     "cc_components",
     "j10_asof_join",
     "w5_sessionize",

@@ -1,0 +1,122 @@
+"""Corpus assembly: the training-data pipeline composed end to end.
+
+One documented, gate-checked composition of the four families this engine
+already ships separately — exactly the chain a pretraining data job runs
+over a raw document dump:
+
+1. **quality gate** — ``functions.text.quality_score`` (length/punct
+   heuristic), thresholded on exact basis points so the cut is
+   bit-identical across engines;
+2. **near-duplicate dedup** — ``operators.dedup.dedup_clusters``
+   (MinHash -> LSH banding -> connected components), keeping one
+   canonical doc per cluster (min doc_id);
+3. **mixture schedule** — ``operators.packing.mixture_interleave``
+   assigns each surviving doc its deterministic interleave key from
+   integer source weights (sources outside the weight spec are dropped:
+   the weights table IS the mixture spec);
+4. **sequence packing** — a global running token total in schedule order
+   cuts the concatenated stream into fixed ``chunk_tokens`` windows and
+   annotates each doc with its offset and first/last chunk.
+
+The reference pipeline has no corpus stage (it maps one vocabulary at a
+time; cf. reference src/backend/automapper for its single-table scope) —
+this module belongs to the task's training-data addendum, but reuses the
+same Spark-first primitives the KG path is built on.
+
+Scale shape (the part that must survive 100 TB):
+
+- the quality gate is a map-only column expression — it reaches the
+  parquet scan as a projection + filter, no shuffle;
+- dedup shuffles only the LSH *candidate* graph (orders of magnitude
+  smaller than the corpus) through connected components; signatures are
+  map-only;
+- the keeper restriction is a self-equijoin on ``doc_id`` — long-keyed,
+  AQE-coalesced, and skew-free by construction (doc_id is unique);
+- the mixture schedule and the pack offsets each run the two-phase
+  distributed running total (``operators.packing.global_running_total``):
+  range partition, per-partition partials, O(n_partitions) driver prefix,
+  broadcast offsets — at no point does the plan contain an
+  ``Exchange SinglePartition`` (pinned by tests/test_physical_plans.py).
+
+Everything downstream of the gate is keyed by ``doc_id`` / partition id,
+never by the (skewed) source value, so one hot source cannot serialize
+the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.functions.text import (
+    quality_score,
+    token_count,
+)
+from omop_concept_automapper_spark.operators.dedup import dedup_clusters
+from omop_concept_automapper_spark.operators.packing import (
+    global_running_total,
+    mixture_interleave,
+)
+
+DEFAULT_MIXTURE_WEIGHTS = {
+    "src0": 5,
+    "src1": 3,
+    "src2": 2,
+    "src3": 1,
+    "src4": 1,
+}
+
+
+def quality_survivors(docs: DataFrame, min_quality_bp: int) -> DataFrame:
+    """Docs whose quality score (rounded to basis points) clears the bar.
+
+    The threshold compares a ROUNDED long, not the raw double: both
+    engines compute the same double expression, and rounding to bp before
+    the compare removes any risk of a doc sitting on an ulp boundary.
+    """
+    qbp = F.round(quality_score("text") * 10000).cast("long")
+    return docs.where(qbp >= int(min_quality_bp))
+
+
+def assemble_corpus(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    chunk_tokens: int = 256,
+    min_quality_bp: int = 5000,
+) -> DataFrame:
+    """Run the full assembly chain; one row per doc that survives every
+    stage, annotated with its mixture position and chunk routing.
+
+    Returns columns ``(doc_id, source, n_tokens, interleave_key,
+    start_off, first_chunk, last_chunk)``.  ``start_off`` is the doc's
+    global token offset in the packed stream laid out in ascending
+    ``(interleave_key, source, doc_id)`` order — a total order, since
+    doc_id is unique.  Chunk arithmetic is exact long division (``DIV``),
+    never floating floor.
+    """
+    weights = weights or DEFAULT_MIXTURE_WEIGHTS
+    q = quality_survivors(docs, min_quality_bp)
+
+    keepers = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
+    kept = q.join(keepers, "doc_id")
+
+    sched = mixture_interleave(kept, weights).select(
+        "doc_id", "source", "interleave_key"
+    )
+    toks = kept.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    base = sched.join(toks, "doc_id")
+
+    order_cols = ["interleave_key", "source", "doc_id"]
+    cum = global_running_total(base, "n_tokens", order_cols)
+    L = int(chunk_tokens)
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "interleave_key",
+        (F.col("_cum") - F.col("n_tokens")).alias("start_off"),
+        F.expr(f"(_cum - n_tokens) DIV {L}").alias("first_chunk"),
+        F.expr(f"(_cum - 1) DIV {L}").alias("last_chunk"),
+    )

@@ -144,3 +144,58 @@ def test_global_running_total_rejects_fractional_values(spark):
     df = spark.createDataFrame([(1, 0.5)], "k long, v double")
     with pytest.raises(TypeError):
         global_running_total(df, "v", ["k"])
+
+
+def test_assemble_corpus_invariants(spark, docs):
+    """The composed pipeline (plans/corpus.py): survivors are exactly the
+    quality-gated cluster keepers of in-spec sources, and the packed
+    stream is contiguous in schedule order."""
+    from omop_concept_automapper_spark.plans.corpus import (
+        DEFAULT_MIXTURE_WEIGHTS,
+        assemble_corpus,
+        quality_survivors,
+    )
+    from omop_concept_automapper_spark.operators.dedup import dedup_clusters
+
+    out = (
+        assemble_corpus(docs)
+        .orderBy("interleave_key", "source", "doc_id")
+        .toPandas()
+    )
+    assert len(out) > 0
+    assert set(out["source"]) <= set(DEFAULT_MIXTURE_WEIGHTS)
+
+    # membership law: exactly the quality survivors that are their own
+    # cluster keeper, carry an in-spec source, and have at least one token
+    q = quality_survivors(docs, 5000)
+    keep = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
+    want = {
+        r["doc_id"]
+        for r in q.join(keep, "doc_id")
+        .where(F.col("source").isin(*DEFAULT_MIXTURE_WEIGHTS))
+        .where(F.trim("text") != "")
+        .collect()
+    }
+    assert set(out["doc_id"]) == want
+
+    # the packed stream is gapless and chunk routing is exact
+    ends = out["start_off"] + out["n_tokens"]
+    assert out["start_off"].iloc[0] == 0
+    assert (out["start_off"].iloc[1:].to_numpy() ==
+            ends.iloc[:-1].to_numpy()).all()
+    assert (out["first_chunk"] == out["start_off"] // 256).all()
+    assert (out["last_chunk"] == (ends - 1) // 256).all()
+
+
+def test_assemble_corpus_plan_shape(spark, docs):
+    """End-to-end composition must inherit the primitives' scale shape:
+    no stage may collapse to one task (Exchange SinglePartition)."""
+    from omop_concept_automapper_spark.plans.corpus import assemble_corpus
+
+    plan = (
+        assemble_corpus(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
