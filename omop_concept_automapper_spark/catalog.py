@@ -123,6 +123,31 @@ class Table:
                 ids.add(int(b))
         return ids
 
+    # Snapshot-metrics contract: a key is either PER-COMMIT bookkeeping
+    # (it describes one physical commit — lineage, the batch marker a
+    # single append carries, the compaction flag) or TABLE-LEVEL state
+    # (newest-wins watermarks and fingerprints that readers recover by
+    # scanning history: link_config, embedder_version, graph_format,
+    # tokens_through, source_seq_through, compacted_through, ...).
+    # Maintenance (compact / expire_snapshots) folds table-level keys
+    # forward so rewriting or deleting old manifests can never reset a
+    # watermark — losing tokens_through, for instance, would silently
+    # restart streaming pack offsets at 0 over committed history.
+    _PER_COMMIT_METRIC_KEYS = frozenset(
+        {"lineage", "stream_batch_id", "stream_batch_ids", "compacted"}
+    )
+
+    @classmethod
+    def _carry_metrics(cls, snaps: list[Snapshot]) -> dict:
+        """Newest-wins fold of every table-level metric key over ``snaps``
+        (ascending snapshot order — later values overwrite earlier)."""
+        carried: dict = {}
+        for s in snaps:
+            for k, v in (s.metrics or {}).items():
+                if k not in cls._PER_COMMIT_METRIC_KEYS:
+                    carried[k] = v
+        return carried
+
     # -------------------------------------------------------------- read
     def read(self, snapshot_id: str | None = None) -> DataFrame:
         snap = self.snapshot(snapshot_id)
@@ -440,13 +465,23 @@ class Table:
         stop paying per-append file-listing and small-file overhead.
         Content is unchanged (tested); bucketed tables re-bucket through
         the same spec.  Applied streaming-batch markers from the whole
-        history are folded into the new snapshot's ``stream_batch_ids`` so
-        a later expire_snapshots cannot erase the replay guard."""
-        carried = sorted(self._stream_batch_ids(self.history()))
-        extra = {"stream_batch_ids": carried} if carried else {}
+        history are folded into the new snapshot's ``stream_batch_ids``,
+        and every table-level metric key (newest-wins — see
+        ``_PER_COMMIT_METRIC_KEYS``) is carried forward, so a later
+        expire_snapshots can erase neither the replay guard nor a
+        watermark/fingerprint.  Caller ``metrics`` override carried
+        values."""
+        hist = self.history()
+        ids = sorted(self._stream_batch_ids(hist))
+        extra = {"stream_batch_ids": ids} if ids else {}
         return self._commit_rewrite(
             self.read(), "compact", None,
-            {**(metrics or {}), "compacted": True, **extra},
+            {
+                **self._carry_metrics(hist),
+                **(metrics or {}),
+                "compacted": True,
+                **extra,
+            },
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
@@ -474,11 +509,14 @@ class Table:
             expired_snaps.append(s)
             doomed.update(s.live_dirs)
         doomed -= live
-        # expiring manifests must not erase streaming replay guards: fold
-        # any applied stream_batch_id recorded ONLY in expired manifests
-        # into the current manifest's stream_batch_ids BEFORE deleting
-        # (fold first — a crash between fold and delete merely duplicates
-        # markers, which the set-union read makes harmless)
+        # expiring manifests must not erase streaming replay guards or
+        # table-level watermarks/fingerprints: fold any applied
+        # stream_batch_id recorded ONLY in expired manifests into the
+        # current manifest's stream_batch_ids, and any table-level metric
+        # key the current manifest lacks (newest-wins over full history)
+        # into its metrics, BEFORE deleting (fold first — a crash between
+        # fold and delete merely duplicates markers/values, which the
+        # set-union / newest-wins reads make harmless)
         kept_snaps = [
             Snapshot(**json.loads(open(os.path.join(mdir, n)).read()))
             for n in keep
@@ -486,15 +524,21 @@ class Table:
         orphan_ids = self._stream_batch_ids(expired_snaps) - self._stream_batch_ids(
             kept_snaps
         )
-        if orphan_ids and current is not None:
+        if current is not None:
             cur = self.snapshot()
-            merged = sorted(
-                orphan_ids | set(cur.metrics.get("stream_batch_ids", []))
-            )
-            cur.metrics = {**cur.metrics, "stream_batch_ids": merged}
-            _atomic_write_text(
-                os.path.join(mdir, f"{current}.json"), cur.to_json()
-            )
+            # history() reads manifests in ascending snapshot-id order, so
+            # the fold below really is newest-wins over the FULL history
+            carry = self._carry_metrics(self.history())
+            missing = {k: v for k, v in carry.items() if k not in cur.metrics}
+            if orphan_ids or missing:
+                merged = sorted(
+                    orphan_ids | set(cur.metrics.get("stream_batch_ids", []))
+                )
+                ids = {"stream_batch_ids": merged} if merged else {}
+                cur.metrics = {**missing, **cur.metrics, **ids}
+                _atomic_write_text(
+                    os.path.join(mdir, f"{current}.json"), cur.to_json()
+                )
         # delete manifests first: a crash mid-way leaves orphan data dirs
         # (safe, re-collectable) rather than manifests pointing at nothing
         for name in expired:

@@ -35,6 +35,31 @@ from pyspark.sql import functions as F
 from omop_concept_automapper_spark.functions.text import token_count
 
 
+def _range_stage(
+    df: DataFrame,
+    part_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Phase 1 of the running total, PRE-checkpoint: range-partition on the
+    (group-major) order key, sort within partitions, stamp partition ids.
+    Split out so plan tests can inspect the full upstream lineage — the
+    eager localCheckpoint in :func:`global_running_total` truncates it to a
+    LogicalRDD, which would make an end-to-end plan assertion vacuous.
+
+    An explicit partition count pins the range-exchange width (AQE may
+    otherwise coalesce small inputs); at scale, size it so a partition's
+    rows fit one task comfortably.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *part_cols)
+        if num_partitions
+        else df.repartitionByRange(*part_cols)
+    )
+    return ranged.sortWithinPartitions(*part_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
 def global_running_total(
     df: DataFrame,
     value_col: str,
@@ -62,20 +87,11 @@ def global_running_total(
             f"is {vtype} (cast fractional weights to fixed-point longs)"
         )
     part_cols = group_cols + list(order_cols)
-    # an explicit partition count pins the range-exchange width (AQE may
-    # otherwise coalesce small inputs); at scale, size it so a partition's
-    # rows fit one task comfortably
-    ranged = (
-        df.repartitionByRange(num_partitions, *part_cols)
-        if num_partitions
-        else df.repartitionByRange(*part_cols)
-    )
-    staged = ranged.sortWithinPartitions(*part_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
     # pin the layout: repartitionByRange re-samples its boundaries per job,
     # and the partials job + the final window must agree on partition ids
-    staged = staged.localCheckpoint(eager=True)
+    staged = _range_stage(df, part_cols, num_partitions).localCheckpoint(
+        eager=True
+    )
 
     keys = ["_pid"] + group_cols
     partials = (
@@ -114,6 +130,27 @@ def global_running_total(
     )
 
 
+def chunk_route_cols(chunk_tokens: int, base: int = 0) -> list[Column]:
+    """The chunk-routing triple over an inclusive ``_cum`` running total of
+    ``n_tokens``: global ``start_off`` plus the first/last fixed-size chunk
+    the doc lands in.  THE single definition of the routing arithmetic —
+    batch packing, the composed corpus plan, and the streaming fold all
+    select these columns, so the three surfaces cannot silently diverge.
+
+    ``base`` shifts the stream origin (streaming folds continue from the
+    committed ``tokens_through`` watermark).  Arithmetic is Spark ``DIV``
+    (exact long division; DuckDB twin ``//``) — never floating floor,
+    which loses exactness past 2^53 token offsets.
+    """
+    L = int(chunk_tokens)
+    b = int(base)
+    return [
+        (F.lit(b) + F.col("_cum") - F.col("n_tokens")).alias("start_off"),
+        F.expr(f"({b} + _cum - n_tokens) DIV {L}").alias("first_chunk"),
+        F.expr(f"({b} + _cum - 1) DIV {L}").alias("last_chunk"),
+    ]
+
+
 def pack_sequences(
     docs: DataFrame,
     chunk_tokens: int,
@@ -147,14 +184,7 @@ def pack_sequences(
         )
     toks = toks.where(F.col("n_tokens") > 0)
     cum = global_running_total(toks, "n_tokens", [order_col])
-    L = int(chunk_tokens)
-    return cum.select(
-        order_col,
-        "n_tokens",
-        (F.col("_cum") - F.col("n_tokens")).alias("start_off"),
-        F.expr(f"(_cum - n_tokens) DIV {L}").alias("first_chunk"),
-        F.expr(f"(_cum - 1) DIV {L}").alias("last_chunk"),
-    )
+    return cum.select(order_col, "n_tokens", *chunk_route_cols(chunk_tokens))
 
 
 def mixture_interleave(
@@ -163,6 +193,7 @@ def mixture_interleave(
     source_col: str = "source",
     order_col: str = "doc_id",
     scale: int = 1_000_000,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic weighted interleave of corpus sources — the mixture
     schedule a pretraining dataloader consumes.
@@ -179,14 +210,20 @@ def mixture_interleave(
     ``scale`` bounds exactness: keys stay within int64 for up to
     ~9.2e18/scale rows per source (9.2e12 at the default), checked by
     Spark's ANSI overflow semantics rather than silently wrapping.
+
+    ``keep_cols`` names extra input columns to carry through unchanged, so
+    a composed pipeline (plans/corpus.py) can ride the schedule's already-
+    materialized lineage instead of re-joining — and re-scanning — the
+    corpus for per-doc attributes it computed upstream.
     """
+    keep_cols = list(keep_cols or [])
     w_rows = [(s, int(w)) for s, w in sorted(weights.items())]
     if any(w <= 0 for _, w in w_rows):
         raise ValueError("mixture weights must be positive integers")
     off_df = docs.sparkSession.createDataFrame(
         w_rows, f"{source_col} string, _weight long"
     )
-    ones = docs.select(source_col, order_col).withColumn(
+    ones = docs.select(source_col, order_col, *keep_cols).withColumn(
         "_one", F.lit(1).cast("long")
     )
     cum = global_running_total(
@@ -199,5 +236,6 @@ def mixture_interleave(
             source_col,
             F.col("_cum").alias("source_seq"),
             F.expr(f"_cum * {int(scale)} DIV _weight").alias("interleave_key"),
+            *keep_cols,
         )
     )

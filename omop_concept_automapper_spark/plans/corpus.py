@@ -54,6 +54,7 @@ from omop_concept_automapper_spark.functions.text import (
 )
 from omop_concept_automapper_spark.operators.dedup import dedup_clusters
 from omop_concept_automapper_spark.operators.packing import (
+    chunk_route_cols,
     global_running_total,
     mixture_interleave,
 )
@@ -98,25 +99,25 @@ def assemble_corpus(
     q = quality_survivors(docs, min_quality_bp)
 
     keepers = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
-    kept = q.join(keepers, "doc_id")
-
-    sched = mixture_interleave(kept, weights).select(
-        "doc_id", "source", "interleave_key"
+    # tokenize ON the keeper rows, once: the schedule carries n_tokens
+    # through (keep_cols), so the corpus scan + quality gate + keeper join
+    # run a single time — inside the mixture's materialized running total —
+    # instead of once per downstream branch
+    kept = q.join(keepers, "doc_id").withColumn(
+        "n_tokens", token_count("text").cast("long")
     )
-    toks = kept.select(
-        "doc_id", token_count("text").cast("long").alias("n_tokens")
-    ).where(F.col("n_tokens") > 0)
-    base = sched.join(toks, "doc_id")
+
+    # numbering runs over ALL kept docs (zero-token docs consume schedule
+    # slots); only the packed stream excludes them — same as the oracle
+    sched = mixture_interleave(kept, weights, keep_cols=["n_tokens"])
+    base = sched.where(F.col("n_tokens") > 0)
 
     order_cols = ["interleave_key", "source", "doc_id"]
     cum = global_running_total(base, "n_tokens", order_cols)
-    L = int(chunk_tokens)
     return cum.select(
         "doc_id",
         "source",
         "n_tokens",
         "interleave_key",
-        (F.col("_cum") - F.col("n_tokens")).alias("start_off"),
-        F.expr(f"(_cum - n_tokens) DIV {L}").alias("first_chunk"),
-        F.expr(f"(_cum - 1) DIV {L}").alias("last_chunk"),
+        *chunk_route_cols(chunk_tokens),
     )

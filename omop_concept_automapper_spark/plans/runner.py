@@ -99,9 +99,11 @@ class Pipeline:
     @staticmethod
     def _recorded_link_config(tbl) -> str | None:
         """Last link_config fingerprint in the links table's snapshot
-        history (compact/expire snapshots don't carry metrics keys forward,
-        so reading only the head snapshot would misread a freshly-compacted
-        table as stale and trigger a spurious full relink)."""
+        history.  Maintenance now carries table-level keys forward
+        (catalog.Table._carry_metrics), but ordinary appends after the
+        fingerprint commit don't re-stamp it, so reading only the head
+        snapshot would still misread the table as stale and trigger a
+        spurious full relink — scan history, newest-wins."""
         if not tbl.exists():
             return None
         for snap in reversed(tbl.history()):
@@ -113,8 +115,9 @@ class Pipeline:
     @staticmethod
     def _recorded_embedder_version(tbl) -> int | None:
         """Last embedder_version recorded in the table's snapshot history
-        (maintenance snapshots like compact don't carry it forward; a
-        pre-versioning warehouse has none at all and reads as stale)."""
+        (newest-wins scan: appends after the versioned commit don't
+        re-stamp it; a pre-versioning warehouse has none and reads as
+        stale)."""
         if not tbl.exists():
             return None
         for snap in reversed(tbl.history()):
@@ -299,7 +302,7 @@ class Pipeline:
     @staticmethod
     def _recorded_graph_format(tbl) -> int | None:
         """Last graph_format recorded in the table's snapshot history
-        (maintenance snapshots like compact don't carry it forward)."""
+        (newest-wins scan — appends don't re-stamp the key)."""
         if not tbl.exists():
             return None
         for snap in reversed(tbl.history()):

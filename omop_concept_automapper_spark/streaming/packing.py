@@ -23,12 +23,17 @@ arrival packs each batch internally in event-time order but cannot
 reorder already-committed offsets; that is the streaming trade-off, not
 a bug.
 
-Scale shape: per microbatch the only state read is O(1) snapshot metadata
+Scale shape: per microbatch the only state read is snapshot metadata
 (a long, or one long per mixture source — mixture state is proportional
 to the number of corpus sources, dozens, never data-sized), and the only
 data work is the two-phase running total over THAT batch.  Nothing
 re-reads the packed history, so per-batch cost is O(batch), matching the
-O(delta) incremental-KG fold (plans/runner.py run_incremental).
+O(delta) incremental-KG fold (plans/runner.py run_incremental).  The
+folds self-compact every ``compact_every`` applied batches (same policy
+as streaming/ingest.py) so the manifest history — and with it the
+replay-guard / watermark reads — stays O(compact_every), not O(all
+batches ever); compaction folds both forward (catalog.Table.compact
+carries stream_batch_ids and every table-level metric key).
 """
 
 from __future__ import annotations
@@ -46,6 +51,7 @@ from pyspark.sql.types import (
 from omop_concept_automapper_spark.catalog import Table
 from omop_concept_automapper_spark.functions.text import token_count
 from omop_concept_automapper_spark.operators.packing import (
+    chunk_route_cols,
     global_running_total,
 )
 
@@ -60,8 +66,11 @@ DOCS_STREAM_SCHEMA = StructType(
 
 
 def _last_metric(table: Table, key: str, default):
-    """Newest snapshot carrying ``key`` wins — scanned over history so
-    compaction (which folds metrics forward) cannot lose the watermark."""
+    """Newest snapshot carrying ``key`` wins — scanned over history because
+    appends after the carrying commit don't re-stamp the key.  Maintenance
+    is safe: compact/expire fold table-level metric keys forward
+    (catalog.Table._carry_metrics), pinned by
+    tests/test_streaming_packing.py::test_watermarks_survive_maintenance."""
     if not table.exists():
         return default
     for snap in reversed(table.history()):
@@ -71,6 +80,25 @@ def _last_metric(table: Table, key: str, default):
     return default
 
 
+def _maybe_compact(table: Table, compact_every: int) -> None:
+    """Fold the per-batch append manifests once ``compact_every`` new
+    batches have landed since the last fold — keeps per-batch state reads
+    bounded instead of O(all batches ever)."""
+    if compact_every <= 0 or not table.exists():
+        return
+    n_applied = len(table.applied_stream_batch_ids())
+    done_through = max(
+        (
+            int((s.metrics or {}).get("compacted_through", 0))
+            for s in table.history()
+        ),
+        default=0,
+    )
+    if n_applied - done_through >= compact_every:
+        table.compact(metrics={"compacted_through": n_applied})
+        table.expire_snapshots(keep_last=1)
+
+
 def stream_pack_sequences(
     spark: SparkSession,
     landing_dir: str,
@@ -78,11 +106,14 @@ def stream_pack_sequences(
     checkpoint_dir: str,
     chunk_tokens: int = 256,
     schema: StructType = DOCS_STREAM_SCHEMA,
+    max_files_per_trigger: int = 64,
+    compact_every: int = 16,
 ) -> None:
     """Drain ``landing_dir`` (Trigger.AvailableNow) and append packed rows
     ``(doc_id, source, ts, n_tokens, start_off, first_chunk, last_chunk)``
-    to ``table``, offsets continuing across batches."""
-    L = int(chunk_tokens)
+    to ``table``, offsets continuing across batches.  Tests pass
+    ``max_files_per_trigger=1`` to force multi-batch continuation;
+    production callers batch wider to amortize per-commit overhead."""
 
     def fold(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -98,17 +129,12 @@ def stream_pack_sequences(
         ).where(F.col("n_tokens") > 0)
         cum = global_running_total(toks, "n_tokens", ["ts", "doc_id"])
         out = cum.select(
-            "doc_id",
-            "source",
-            "ts",
-            "n_tokens",
-            (F.lit(base) + F.col("_cum") - F.col("n_tokens")).alias(
-                "start_off"
-            ),
-            F.expr(f"({base} + _cum - n_tokens) DIV {L}").alias("first_chunk"),
-            F.expr(f"({base} + _cum - 1) DIV {L}").alias("last_chunk"),
+            "doc_id", "source", "ts", "n_tokens",
+            *chunk_route_cols(chunk_tokens, base=base),
         )
-        batch_total = toks.agg(F.sum("n_tokens")).collect()[0][0] or 0
+        # the inclusive running total's max IS the batch total, and cum is
+        # already localCheckpoint-ed — no second scan/tokenize of batch_df
+        batch_total = cum.agg(F.max("_cum")).collect()[0][0] or 0
         table.append(
             out,
             metrics={
@@ -116,10 +142,11 @@ def stream_pack_sequences(
                 "tokens_through": base + int(batch_total),
             },
         )
+        _maybe_compact(table, compact_every)
 
     query = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(landing_dir)
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)
@@ -137,6 +164,8 @@ def stream_mixture_interleave(
     weights: dict[str, int],
     scale: int = 1_000_000,
     schema: StructType = DOCS_STREAM_SCHEMA,
+    max_files_per_trigger: int = 64,
+    compact_every: int = 16,
 ) -> None:
     """Drain ``landing_dir`` and append schedule rows ``(doc_id, source,
     ts, source_seq, interleave_key)`` to ``table``; per-source sequence
@@ -198,10 +227,11 @@ def stream_mixture_interleave(
                 "source_seq_through": new_bases,
             },
         )
+        _maybe_compact(table, compact_every)
 
     query = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
         .parquet(landing_dir)
         .writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)

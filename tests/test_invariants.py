@@ -662,6 +662,53 @@ def test_stream_batch_markers_survive_compact_and_expire(spark, tmp_path):
     assert tbl.applied_stream_batch_ids() == {0, 1, 2, 7}
 
 
+def test_table_level_metrics_survive_compact_and_expire(spark, tmp_path):
+    """Maintenance must also carry TABLE-LEVEL metric keys (newest-wins
+    watermarks/fingerprints like tokens_through, link_config) forward —
+    not just the batch markers — or a compact+expire cycle silently resets
+    streaming offsets / triggers spurious full recomputes.  Per-commit
+    bookkeeping keys (lineage, compacted) are NOT carried."""
+
+    def last(tbl, key):
+        for s in reversed(tbl.history()):
+            if key in (s.metrics or {}):
+                return s.metrics[key]
+        return None
+
+    tbl = Warehouse(spark, str(tmp_path / "wh")).table("t")
+    tbl.append(
+        spark.range(5).selectExpr("id as v"),
+        metrics={"tokens_through": 100, "link_config": "fp-a"},
+    )
+    tbl.append(
+        spark.range(5).selectExpr("id as v"), metrics={"tokens_through": 250}
+    )
+    # compact folds newest-wins values into its own snapshot
+    tbl.compact()
+    tbl.expire_snapshots(keep_last=1)
+    assert len(tbl.history()) == 1
+    assert last(tbl, "tokens_through") == 250
+    assert last(tbl, "link_config") == "fp-a"
+    # the compact snapshot's own lineage is its own, not a stale carry
+    assert tbl.snapshot().metrics["lineage"]["n_partitions"] == 1
+
+    # expire WITHOUT a prior compact: keys recorded only in older
+    # manifests fold into the current one, newest value winning
+    tbl.append(
+        spark.range(5).selectExpr("id as v"), metrics={"tokens_through": 400}
+    )
+    tbl.append(spark.range(5).selectExpr("id as v"))  # no keys
+    tbl.expire_snapshots(keep_last=1)
+    assert last(tbl, "tokens_through") == 400
+    assert last(tbl, "link_config") == "fp-a"
+    # a key the current manifest already carries is never overwritten
+    tbl.append(
+        spark.range(5).selectExpr("id as v"), metrics={"tokens_through": 900}
+    )
+    tbl.expire_snapshots(keep_last=1)
+    assert last(tbl, "tokens_through") == 900
+
+
 def test_incremental_fold_is_delta_scoped(spark, tmp_path):
     """r3 verdict ask #4: a fold's per-batch work is O(delta), not
     O(history) — the mention dim is freq-merged from the appended

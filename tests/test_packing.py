@@ -188,14 +188,40 @@ def test_assemble_corpus_invariants(spark, docs):
 
 
 def test_assemble_corpus_plan_shape(spark, docs):
-    """End-to-end composition must inherit the primitives' scale shape:
-    no stage may collapse to one task (Exchange SinglePartition)."""
+    """The composition must inherit the primitives' scale shape: no stage
+    may collapse to one task (Exchange SinglePartition).
+
+    The eager localCheckpoint inside global_running_total truncates
+    lineage to a LogicalRDD, so ONE end-to-end executedPlan cannot see the
+    upstream stages — assert the two plan fragments separately: (a) the
+    pre-checkpoint range stage feeding the first running total, whose
+    lineage covers scan -> quality gate -> keeper join -> tokenize -> range
+    exchange, and (b) the post-checkpoint plan of the full composition
+    (broadcast joins + pid-keyed windows).  The dedup internals between
+    them carry their own plan gates (test_physical_plans / dedup tests)."""
+    from omop_concept_automapper_spark.operators.dedup import dedup_clusters
+    from omop_concept_automapper_spark.operators.packing import _range_stage
+    from omop_concept_automapper_spark.plans.corpus import quality_survivors
+    from omop_concept_automapper_spark.functions.text import token_count
     from omop_concept_automapper_spark.plans.corpus import assemble_corpus
 
-    plan = (
+    q = quality_survivors(docs, 5000)
+    keepers = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
+    kept = q.join(keepers, "doc_id").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    ones = kept.select("source", "doc_id", "n_tokens").withColumn(
+        "_one", F.lit(1).cast("long")
+    )
+    staged = _range_stage(ones, ["source", "doc_id"])
+    pre = staged._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in pre
+    assert "rangepartitioning" in pre.lower()  # the balanced exchange ran
+
+    post = (
         assemble_corpus(docs)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "SinglePartition" not in plan
+    assert "SinglePartition" not in post

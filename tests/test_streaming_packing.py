@@ -20,14 +20,14 @@ from omop_concept_automapper_spark.streaming.packing import (
 T0 = datetime.datetime(2026, 1, 1)
 
 
-def _doc_rows():
-    """Three arrival waves; ts strictly increases with doc_id so batch
+def _doc_rows(n_waves: int = 3, start: int = 0):
+    """Arrival waves; ts strictly increases with doc_id so batch
     operators (ordered by doc_id) and the stream (ordered by ts, doc_id)
     see the same total order.  'junk' is outside the mixture spec."""
     srcs = ["web", "wiki", "code", "junk"]
     waves = []
-    did = 0
-    for wave in range(3):
+    did = start
+    for wave in range(n_waves):
         rows = []
         for i in range(40):
             text = " ".join(f"tok{j}" for j in range((did % 17) + 1))
@@ -60,7 +60,8 @@ def test_stream_pack_continues_offsets_and_is_exactly_once(
     wh = Warehouse(spark, str(tmp_path / "wh"))
     tbl = wh.table("packed")
     stream_pack_sequences(
-        spark, landed, tbl, str(tmp_path / "ckpt"), chunk_tokens=32
+        spark, landed, tbl, str(tmp_path / "ckpt"), chunk_tokens=32,
+        max_files_per_trigger=1,
     )
 
     got = tbl.read().orderBy("doc_id").toPandas()
@@ -85,7 +86,8 @@ def test_stream_pack_continues_offsets_and_is_exactly_once(
     # replay the whole arrival history through a FRESH checkpoint: every
     # batch id is already marked on the table, nothing double-appends
     stream_pack_sequences(
-        spark, landed, tbl, str(tmp_path / "ckpt2"), chunk_tokens=32
+        spark, landed, tbl, str(tmp_path / "ckpt2"), chunk_tokens=32,
+        max_files_per_trigger=1,
     )
     assert tbl.read().count() == len(got)
     again = tbl.read().orderBy("doc_id").toPandas()
@@ -101,7 +103,8 @@ def test_stream_mixture_continues_source_seq(spark, tmp_path, landed):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     tbl = wh.table("schedule")
     stream_mixture_interleave(
-        spark, landed, tbl, str(tmp_path / "ckpt"), weights
+        spark, landed, tbl, str(tmp_path / "ckpt"), weights,
+        max_files_per_trigger=1,
     )
     got = tbl.read().orderBy("doc_id").toPandas()
 
@@ -118,9 +121,96 @@ def test_stream_mixture_continues_source_seq(spark, tmp_path, landed):
 
     # replay with fresh checkpoint: exactly-once via table markers
     stream_mixture_interleave(
-        spark, landed, tbl, str(tmp_path / "ckpt2"), weights
+        spark, landed, tbl, str(tmp_path / "ckpt2"), weights,
+        max_files_per_trigger=1,
     )
     assert tbl.read().count() == len(got)
+
+
+def _pandas_pack_oracle(rows):
+    import pandas as pd
+
+    exp = pd.DataFrame(rows, columns=["doc_id", "source", "text", "ts"])
+    exp["n_tokens"] = exp["text"].str.strip().str.split().map(len)
+    exp = exp[exp["n_tokens"] > 0].sort_values(["ts", "doc_id"])
+    exp["start_off"] = exp["n_tokens"].cumsum() - exp["n_tokens"]
+    return exp
+
+
+def test_pack_watermark_survives_maintenance(spark, tmp_path, landed):
+    """Compact + expire used to fold forward only stream-batch markers,
+    losing the tokens_through watermark — the next batch then restarted
+    offsets at 0 over committed history (silent corruption).  Run the fold
+    with maintenance after EVERY batch, land a fourth wave, drain again:
+    offsets must continue exactly, replay must stay exactly-once."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("packed")
+    stream_pack_sequences(
+        spark, landed, tbl, str(tmp_path / "ckpt"), chunk_tokens=32,
+        max_files_per_trigger=1, compact_every=1,
+    )
+    hist = tbl.history()
+    # maintenance really ran and expired the per-batch appends
+    assert any((s.metrics or {}).get("compacted") for s in hist)
+    assert len(hist) <= 2  # compacted snapshot (+ at most one fresh append)
+    assert len(tbl.applied_stream_batch_ids()) == 3  # replay guard carried
+
+    wave4 = _doc_rows(n_waves=1, start=120)[0]
+    spark.createDataFrame(wave4, DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(landed)
+    stream_pack_sequences(
+        spark, landed, tbl, str(tmp_path / "ckpt"), chunk_tokens=32,
+        max_files_per_trigger=1, compact_every=1,
+    )
+
+    got = tbl.read().orderBy("doc_id").toPandas()
+    rows = [r for wave in _doc_rows() for r in wave] + wave4
+    exp = _pandas_pack_oracle(rows)
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["start_off"].tolist() == exp["start_off"].tolist()
+
+    # replay the full history through a fresh checkpoint: nothing doubles
+    stream_pack_sequences(
+        spark, landed, tbl, str(tmp_path / "ckpt2"), chunk_tokens=32,
+        max_files_per_trigger=1, compact_every=1,
+    )
+    assert tbl.read().count() == len(got)
+
+
+def test_mixture_watermark_survives_maintenance(spark, tmp_path, landed):
+    """Same maintenance hazard for the per-source sequence map: after
+    compact+expire on every batch, a fourth wave must continue each
+    source's numbering, matching the batch twin over the union."""
+    from omop_concept_automapper_spark.operators.packing import (
+        mixture_interleave,
+    )
+
+    weights = {"web": 5, "wiki": 2, "code": 1}
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    tbl = wh.table("schedule")
+    stream_mixture_interleave(
+        spark, landed, tbl, str(tmp_path / "ckpt"), weights,
+        max_files_per_trigger=1, compact_every=1,
+    )
+    assert any((s.metrics or {}).get("compacted") for s in tbl.history())
+
+    wave4 = _doc_rows(n_waves=1, start=120)[0]
+    spark.createDataFrame(wave4, DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(landed)
+    stream_mixture_interleave(
+        spark, landed, tbl, str(tmp_path / "ckpt"), weights,
+        max_files_per_trigger=1, compact_every=1,
+    )
+
+    got = tbl.read().orderBy("doc_id").toPandas()
+    rows = [r for wave in _doc_rows() for r in wave] + wave4
+    union = spark.createDataFrame(rows, DOCS_STREAM_SCHEMA)
+    want = mixture_interleave(union, weights).orderBy("doc_id").toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["source_seq"].tolist() == want["source_seq"].tolist()
+    assert got["interleave_key"].tolist() == want["interleave_key"].tolist()
 
 
 def test_stream_mixture_rejects_bad_weights(spark, tmp_path, landed):
