@@ -162,7 +162,15 @@ class Table:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        # name the job after the table so event-log/UI profiles attribute
+        # write cost to the right commit (otherwise every commit is an
+        # anonymous "parquet at ..." job)
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"table-write {os.path.basename(self.path)}")
+        try:
+            writer.parquet(data_dir)
+        finally:
+            sc.setJobDescription(None)
         return sid
 
     def _commit(
@@ -202,12 +210,17 @@ class Table:
 
         from pyspark.sql import functions as F
 
-        rows = (
-            self.spark.read.parquet(data_dir)
-            .groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
+        sc = self.spark.sparkContext
+        sc.setJobDescription(f"lineage {os.path.basename(self.path)}")
+        try:
+            rows = (
+                self.spark.read.parquet(data_dir)
+                .groupBy(F.input_file_name().alias("file"))
+                .count()
+                .collect()
+            )
+        finally:
+            sc.setJobDescription(None)
         total = sum(int(r["count"]) for r in rows)
         norm_dir = os.path.abspath(data_dir)
         per_part: dict[str, int] = {}
@@ -292,12 +305,25 @@ class Table:
 
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, _DATA, sid)
-        (
-            df.withColumn("__bucket", self._bucket_col(spec))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(data_dir)
+        sc = self.spark.sparkContext
+        sc.setJobDescription(
+            f"table-write-bucketed {os.path.basename(self.path)}"
         )
+        try:
+            (
+                df.withColumn("__bucket", self._bucket_col(spec))
+                # co-locate each bucket in one task: one file per bucket
+                # dir per commit (instead of one per task×bucket), and the
+                # task count tracks n_buckets — size n_buckets for the
+                # table's volume; parquet row-groups keep reads parallel
+                # within a big bucket file
+                .repartition(spec["n_buckets"], "__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(data_dir)
+            )
+        finally:
+            sc.setJobDescription(None)
         written = {
             name.split("=", 1)[1]: [os.path.join(data_dir, name)]
             for name in os.listdir(data_dir)
