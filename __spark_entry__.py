@@ -623,6 +623,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, {"src0": 6, "src1": 3, "src2": 1}
         )
 
+    def chunk_manifest_gate(spark, sf):
+        # NEW r5: the read side of packing — explode each packed doc into
+        # the per-chunk token slices a chunk writer materializes (pure
+        # map-side explode, no shuffle; operators/packing.py)
+        from omop_concept_automapper_spark.operators.packing import (
+            chunk_manifest,
+            pack_sequences,
+        )
+
+        d = _t(spark, sf, "documents")
+        return chunk_manifest(pack_sequences(d, chunk_tokens=256), 256)
+
     def corpus_assembly_gate(spark, sf):
         # NEW r5: the training-corpus pipeline composed end to end —
         # quality gate -> near-dup keeper -> mixture schedule -> packed
@@ -1131,7 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot covers
     # only the first 50 entries. The r5-NEW gates (kg_mention_freqs_token_20k,
     # ann_ivf_approx, text_winnow_fingerprints, text_bpeish_tokens,
-    # pack_sequences, mixture_interleave, corpus_assembly) and the three whose
+    # pack_sequences, mixture_interleave, chunk_manifest,
+    # corpus_assembly) and the three whose
     # oracles changed this round (the minhash family) sit inside the window;
     # every demoted gate was driver-green in at least one earlier round and
     # stays covered by the in-repo all-gate mirror (tests/test_entry_contract.py).
@@ -1185,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpeish_tokens": text_bpeish_tokens,  # NEW r5
         "pack_sequences": pack_sequences_gate,  # NEW r5
         "mixture_interleave": mixture_interleave_gate,  # NEW r5
+        "chunk_manifest": chunk_manifest_gate,  # NEW r5
         "corpus_assembly": corpus_assembly_gate,  # NEW r5
         "cc_components": cc_components,
         # --- representative relational slice (driver-green r2+r3) ---
@@ -1921,6 +1935,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cume - n_tokens) // 256 AS BIGINT) AS first_chunk,
                    CAST((cume - 1) // 256 AS BIGINT) AS last_chunk
             FROM cum""",
+        "chunk_manifest": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cume
+              FROM nz),
+            packed AS (
+              SELECT doc_id, n_tokens,
+                     CAST(cume - n_tokens AS BIGINT) AS start_off,
+                     CAST((cume - n_tokens) // 256 AS BIGINT) AS first_chunk,
+                     CAST((cume - 1) // 256 AS BIGINT) AS last_chunk
+              FROM cum),
+            m AS (
+              SELECT unnest(generate_series(first_chunk, last_chunk))
+                       AS chunk_id,
+                     doc_id, start_off, n_tokens
+              FROM packed)
+            SELECT chunk_id, doc_id,
+                   greatest(0, chunk_id * 256 - start_off) AS tok_from,
+                   least(n_tokens, (chunk_id + 1) * 256 - start_off) AS tok_to
+            FROM m""",
         "mixture_interleave": """
             WITH w(source, wt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
             rn AS (

@@ -41,6 +41,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "pack_sequences",
     "mixture_interleave",
+    "chunk_manifest",
     "corpus_assembly",
     "cc_components",
     "j10_asof_join",

@@ -187,6 +187,40 @@ def pack_sequences(
     return cum.select(order_col, "n_tokens", *chunk_route_cols(chunk_tokens))
 
 
+def chunk_manifest(packed: DataFrame, chunk_tokens: int) -> DataFrame:
+    """Explode a packed layout (``pack_sequences`` / ``assemble_corpus``
+    output) into the per-chunk slices a chunk writer materializes: one row
+    per (chunk_id, doc) giving the half-open token span ``[tok_from,
+    tok_to)`` — doc-relative — that the doc contributes to that chunk.
+
+    This is the read side of GPT-style packing: a writer groups the
+    manifest by ``chunk_id`` and concatenates each doc's ``text[tok_from:
+    tok_to)`` tokens to obtain exactly ``chunk_tokens`` tokens per chunk
+    (the final partial chunk excepted) without ever materializing the
+    concatenated stream.
+
+    Scale shape: a pure map-side explode — no shuffle, no window.  The
+    fan-out per doc is ``n_tokens/chunk_tokens + 1`` rows, so the manifest
+    is O(total_tokens / chunk_tokens + n_docs) regardless of layout; a
+    downstream writer shuffles once, keyed by chunk_id, which is uniform
+    by construction (every chunk holds the same token count).
+    """
+    L = int(chunk_tokens)
+    return packed.select(
+        F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
+        "doc_id",
+        "start_off",
+        "n_tokens",
+    ).select(
+        "chunk_id",
+        "doc_id",
+        F.expr(f"greatest(0L, chunk_id * {L} - start_off)").alias("tok_from"),
+        F.expr(f"least(n_tokens, (chunk_id + 1) * {L} - start_off)").alias(
+            "tok_to"
+        ),
+    )
+
+
 def mixture_interleave(
     docs: DataFrame,
     weights: dict[str, int],

@@ -91,6 +91,36 @@ def test_pack_sequences_plan_has_no_single_partition_window(spark, docs):
     assert "SinglePartition" not in plan
 
 
+def test_chunk_manifest_covers_stream_exactly(spark, docs):
+    """Every chunk except the last must receive exactly chunk_tokens
+    tokens; each doc's slices are in-bounds, contiguous, and concatenate
+    to the whole doc — the writer-side law of packing."""
+    from omop_concept_automapper_spark.operators.packing import (
+        chunk_manifest,
+    )
+
+    L = 64
+    packed = pack_sequences(docs, chunk_tokens=L)
+    m = chunk_manifest(packed, L).toPandas()
+    assert len(m) > 0
+    assert ((m["tok_from"] >= 0) & (m["tok_to"] > m["tok_from"])).all()
+
+    # chunk law: all chunks full except the last
+    per_chunk = m.groupby("chunk_id").apply(
+        lambda g: (g["tok_to"] - g["tok_from"]).sum(), include_groups=False
+    )
+    assert (per_chunk.iloc[:-1] == L).all()
+    assert 0 < per_chunk.iloc[-1] <= L
+
+    # doc law: slices per doc are contiguous from 0 to n_tokens
+    p = packed.toPandas().set_index("doc_id")
+    for doc_id, g in m.sort_values(["doc_id", "chunk_id"]).groupby("doc_id"):
+        assert g["tok_from"].iloc[0] == 0
+        assert g["tok_to"].iloc[-1] == p.loc[doc_id, "n_tokens"]
+        assert (g["tok_from"].iloc[1:].to_numpy() ==
+                g["tok_to"].iloc[:-1].to_numpy()).all()
+
+
 def test_mixture_interleave_is_proportional_and_deterministic(spark):
     rows = [(i, ["web", "wiki", "code"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
