@@ -30,6 +30,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,19 @@ from pyspark.sql import DataFrame, SparkSession
 _CURRENT = "_current"
 _MANIFESTS = "_manifests"
 _DATA = "data"
+
+
+@contextmanager
+def _job_description(sc, text: str):
+    """Label the jobs run inside the block, RESTORING the caller's label
+    after (a plain setJobDescription(None) in a finally would strip a
+    harness's own label from every job that follows the table write)."""
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(text)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 def _atomic_write_text(path: str, text: str) -> None:
@@ -124,27 +138,37 @@ class Table:
         return ids
 
     # Snapshot-metrics contract: a key is either PER-COMMIT bookkeeping
-    # (it describes one physical commit — lineage, the batch marker a
-    # single append carries, the compaction flag) or TABLE-LEVEL state
-    # (newest-wins watermarks and fingerprints that readers recover by
-    # scanning history: link_config, embedder_version, graph_format,
-    # tokens_through, source_seq_through, compacted_through, ...).
-    # Maintenance (compact / expire_snapshots) folds table-level keys
-    # forward so rewriting or deleting old manifests can never reset a
-    # watermark — losing tokens_through, for instance, would silently
-    # restart streaming pack offsets at 0 over committed history.
-    _PER_COMMIT_METRIC_KEYS = frozenset(
-        {"lineage", "stream_batch_id", "stream_batch_ids", "compacted"}
+    # (it describes one physical commit — lineage, delta_scoped,
+    # buckets_rewritten, a single append's batch marker) or TABLE-LEVEL
+    # state (newest-wins watermarks and fingerprints that readers recover
+    # by scanning history).  Maintenance (compact / expire_snapshots)
+    # folds the TABLE-LEVEL keys forward so rewriting or deleting old
+    # manifests can never reset a watermark — losing tokens_through, for
+    # instance, would silently restart streaming pack offsets at 0 over
+    # committed history.  The carry set is an explicit whitelist: the
+    # default for a new key is per-commit (carrying per-commit keys onto
+    # a maintenance snapshot would misdescribe it — e.g. a compact
+    # wearing a previous merge's delta_scoped=True); register a new
+    # watermark/fingerprint here when you add one.
+    _TABLE_LEVEL_METRIC_KEYS = frozenset(
+        {
+            "link_config",
+            "embedder_version",
+            "graph_format",
+            "tokens_through",
+            "source_seq_through",
+            "compacted_through",
+        }
     )
 
     @classmethod
     def _carry_metrics(cls, snaps: list[Snapshot]) -> dict:
-        """Newest-wins fold of every table-level metric key over ``snaps``
+        """Newest-wins fold of the table-level metric keys over ``snaps``
         (ascending snapshot order — later values overwrite earlier)."""
         carried: dict = {}
         for s in snaps:
             for k, v in (s.metrics or {}).items():
-                if k not in cls._PER_COMMIT_METRIC_KEYS:
+                if k in cls._TABLE_LEVEL_METRIC_KEYS:
                     carried[k] = v
         return carried
 
@@ -165,12 +189,11 @@ class Table:
         # name the job after the table so event-log/UI profiles attribute
         # write cost to the right commit (otherwise every commit is an
         # anonymous "parquet at ..." job)
-        sc = self.spark.sparkContext
-        sc.setJobDescription(f"table-write {os.path.basename(self.path)}")
-        try:
+        with _job_description(
+            self.spark.sparkContext,
+            f"table-write {os.path.basename(self.path)}",
+        ):
             writer.parquet(data_dir)
-        finally:
-            sc.setJobDescription(None)
         return sid
 
     def _commit(
@@ -210,17 +233,15 @@ class Table:
 
         from pyspark.sql import functions as F
 
-        sc = self.spark.sparkContext
-        sc.setJobDescription(f"lineage {os.path.basename(self.path)}")
-        try:
+        with _job_description(
+            self.spark.sparkContext, f"lineage {os.path.basename(self.path)}"
+        ):
             rows = (
                 self.spark.read.parquet(data_dir)
                 .groupBy(F.input_file_name().alias("file"))
                 .count()
                 .collect()
             )
-        finally:
-            sc.setJobDescription(None)
         total = sum(int(r["count"]) for r in rows)
         norm_dir = os.path.abspath(data_dir)
         per_part: dict[str, int] = {}
@@ -299,31 +320,35 @@ class Table:
             F.lit(spec["n_buckets"]),
         ).cast("int")
 
-    def _write_bucketed_dir(self, df: DataFrame, spec: dict) -> tuple[str, dict]:
-        """Write df partitioned by bucket id; returns (sid, bucket->dir)."""
+    def _write_bucketed_dir(
+        self, df: DataFrame, spec: dict, colocate: bool = False
+    ) -> tuple[str, dict]:
+        """Write df partitioned by bucket id; returns (sid, bucket->dir).
+
+        ``colocate=True`` repartitions on the bucket column first so each
+        bucket lands in ONE task and one file — right for the delta-merge
+        path, whose write is O(touched buckets) small and otherwise pays
+        tasks×buckets tiny files and a task per shuffle partition.  Full
+        rewrites (overwrite / compact / delete / bucketing conversion)
+        keep the upstream layout: capping a whole-table rewrite at
+        n_buckets tasks would serialize the big case the bucket map
+        exists to protect."""
         from pyspark.sql import functions as F  # noqa: F401
 
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         data_dir = os.path.join(self.path, _DATA, sid)
-        sc = self.spark.sparkContext
-        sc.setJobDescription(
-            f"table-write-bucketed {os.path.basename(self.path)}"
-        )
-        try:
+        out = df.withColumn("__bucket", self._bucket_col(spec))
+        if colocate:
+            out = out.repartition(spec["n_buckets"], "__bucket")
+        with _job_description(
+            self.spark.sparkContext,
+            f"table-write-bucketed {os.path.basename(self.path)}",
+        ):
             (
-                df.withColumn("__bucket", self._bucket_col(spec))
-                # co-locate each bucket in one task: one file per bucket
-                # dir per commit (instead of one per task×bucket), and the
-                # task count tracks n_buckets — size n_buckets for the
-                # table's volume; parquet row-groups keep reads parallel
-                # within a big bucket file
-                .repartition(spec["n_buckets"], "__bucket")
-                .write.mode("overwrite")
+                out.write.mode("overwrite")
                 .partitionBy("__bucket")
                 .parquet(data_dir)
             )
-        finally:
-            sc.setJobDescription(None)
         written = {
             name.split("=", 1)[1]: [os.path.join(data_dir, name)]
             for name in os.listdir(data_dir)
@@ -416,7 +441,7 @@ class Table:
             merged = kept.unionByName(delta.select(*current_touched.columns))
         else:
             merged = delta
-        sid, written = self._write_bucketed_dir(merged, spec)
+        sid, written = self._write_bucketed_dir(merged, spec, colocate=True)
         new_buckets = dict(prev_buckets)
         for b in affected:
             new_buckets[str(b)] = written.get(str(b), [])

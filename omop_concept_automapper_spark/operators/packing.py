@@ -187,7 +187,9 @@ def pack_sequences(
     return cum.select(order_col, "n_tokens", *chunk_route_cols(chunk_tokens))
 
 
-def chunk_manifest(packed: DataFrame, chunk_tokens: int) -> DataFrame:
+def chunk_manifest(
+    packed: DataFrame, chunk_tokens: int, order_col: str = "doc_id"
+) -> DataFrame:
     """Explode a packed layout (``pack_sequences`` / ``assemble_corpus``
     output) into the per-chunk slices a chunk writer materializes: one row
     per (chunk_id, doc) giving the half-open token span ``[tok_from,
@@ -208,12 +210,12 @@ def chunk_manifest(packed: DataFrame, chunk_tokens: int) -> DataFrame:
     L = int(chunk_tokens)
     return packed.select(
         F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
-        "doc_id",
+        order_col,
         "start_off",
         "n_tokens",
     ).select(
         "chunk_id",
-        "doc_id",
+        order_col,
         F.expr(f"greatest(0L, chunk_id * {L} - start_off)").alias("tok_from"),
         F.expr(f"least(n_tokens, (chunk_id + 1) * {L} - start_off)").alias(
             "tok_to"

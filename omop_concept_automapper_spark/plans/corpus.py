@@ -79,6 +79,25 @@ def quality_survivors(docs: DataFrame, min_quality_bp: int) -> DataFrame:
     return docs.where(qbp >= int(min_quality_bp))
 
 
+def kept_docs(docs: DataFrame, min_quality_bp: int) -> DataFrame:
+    """Stage 1+2 of the assembly, tokenized: quality survivors restricted
+    to their cluster keepers, with ``n_tokens`` computed ON the keeper
+    rows, once — the schedule carries it through (mixture_interleave
+    keep_cols), so the corpus scan + quality gate + keeper join run a
+    single time, inside the mixture's materialized running total, instead
+    of once per downstream branch.
+
+    Split out so the plan test can range-stage THIS production lineage
+    (tests/test_packing.py) — a test that re-derived the stage by hand
+    would keep passing after the pipeline changed shape.
+    """
+    q = quality_survivors(docs, min_quality_bp)
+    keepers = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
+    return q.join(keepers, "doc_id").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+
+
 def assemble_corpus(
     docs: DataFrame,
     weights: dict[str, int] | None = None,
@@ -96,16 +115,7 @@ def assemble_corpus(
     never floating floor.
     """
     weights = weights or DEFAULT_MIXTURE_WEIGHTS
-    q = quality_survivors(docs, min_quality_bp)
-
-    keepers = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
-    # tokenize ON the keeper rows, once: the schedule carries n_tokens
-    # through (keep_cols), so the corpus scan + quality gate + keeper join
-    # run a single time — inside the mixture's materialized running total —
-    # instead of once per downstream branch
-    kept = q.join(keepers, "doc_id").withColumn(
-        "n_tokens", token_count("text").cast("long")
-    )
+    kept = kept_docs(docs, min_quality_bp)
 
     # numbering runs over ALL kept docs (zero-token docs consume schedule
     # slots); only the packed stream excludes them — same as the oracle

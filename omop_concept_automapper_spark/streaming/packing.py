@@ -28,12 +28,17 @@ Scale shape: per microbatch the only state read is snapshot metadata
 to the number of corpus sources, dozens, never data-sized), and the only
 data work is the two-phase running total over THAT batch.  Nothing
 re-reads the packed history, so per-batch cost is O(batch), matching the
-O(delta) incremental-KG fold (plans/runner.py run_incremental).  The
-folds self-compact every ``compact_every`` applied batches (same policy
-as streaming/ingest.py) so the manifest history — and with it the
-replay-guard / watermark reads — stays O(compact_every), not O(all
-batches ever); compaction folds both forward (catalog.Table.compact
-carries stream_batch_ids and every table-level metric key).
+O(delta) incremental-KG fold (plans/runner.py run_incremental).  After
+each append the fold expires old manifests (keeping ``keep_manifests``)
+— expire folds the replay-guard markers and watermark metrics into the
+current manifest and, on an append-only table, deletes no data, so the
+per-batch state reads stay O(keep_manifests) instead of O(all batches
+ever) at zero write amplification.  DATA-file compaction of the
+ever-growing packed table is deliberately NOT done per-batch (rewriting
+the whole history every N batches is O(T^2/N) — the trap the
+occurrence-table policy avoids by reading only appended dirs); run
+``table.compact()`` on the consumer's own schedule — maintenance carries
+the watermarks forward, so it is safe at any point.
 """
 
 from __future__ import annotations
@@ -80,23 +85,14 @@ def _last_metric(table: Table, key: str, default):
     return default
 
 
-def _maybe_compact(table: Table, compact_every: int) -> None:
-    """Fold the per-batch append manifests once ``compact_every`` new
-    batches have landed since the last fold — keeps per-batch state reads
-    bounded instead of O(all batches ever)."""
-    if compact_every <= 0 or not table.exists():
+def _bound_manifests(table: Table, keep_manifests: int) -> None:
+    """Expire old manifests so per-batch state reads stay bounded.  On an
+    append-only table every data dir is still referenced by the current
+    snapshot, so this deletes metadata only; markers and watermarks fold
+    into the surviving manifest (catalog expire_snapshots carry)."""
+    if keep_manifests <= 0 or not table.exists():
         return
-    n_applied = len(table.applied_stream_batch_ids())
-    done_through = max(
-        (
-            int((s.metrics or {}).get("compacted_through", 0))
-            for s in table.history()
-        ),
-        default=0,
-    )
-    if n_applied - done_through >= compact_every:
-        table.compact(metrics={"compacted_through": n_applied})
-        table.expire_snapshots(keep_last=1)
+    table.expire_snapshots(keep_last=keep_manifests)
 
 
 def stream_pack_sequences(
@@ -107,7 +103,7 @@ def stream_pack_sequences(
     chunk_tokens: int = 256,
     schema: StructType = DOCS_STREAM_SCHEMA,
     max_files_per_trigger: int = 64,
-    compact_every: int = 16,
+    keep_manifests: int = 8,
 ) -> None:
     """Drain ``landing_dir`` (Trigger.AvailableNow) and append packed rows
     ``(doc_id, source, ts, n_tokens, start_off, first_chunk, last_chunk)``
@@ -142,7 +138,7 @@ def stream_pack_sequences(
                 "tokens_through": base + int(batch_total),
             },
         )
-        _maybe_compact(table, compact_every)
+        _bound_manifests(table, keep_manifests)
 
     query = (
         spark.readStream.schema(schema)
@@ -165,7 +161,7 @@ def stream_mixture_interleave(
     scale: int = 1_000_000,
     schema: StructType = DOCS_STREAM_SCHEMA,
     max_files_per_trigger: int = 64,
-    compact_every: int = 16,
+    keep_manifests: int = 8,
 ) -> None:
     """Drain ``landing_dir`` and append schedule rows ``(doc_id, source,
     ts, source_seq, interleave_key)`` to ``table``; per-source sequence
@@ -227,7 +223,7 @@ def stream_mixture_interleave(
                 "source_seq_through": new_bases,
             },
         )
-        _maybe_compact(table, compact_every)
+        _bound_manifests(table, keep_manifests)
 
     query = (
         spark.readStream.schema(schema)

@@ -678,7 +678,8 @@ def test_table_level_metrics_survive_compact_and_expire(spark, tmp_path):
     tbl = Warehouse(spark, str(tmp_path / "wh")).table("t")
     tbl.append(
         spark.range(5).selectExpr("id as v"),
-        metrics={"tokens_through": 100, "link_config": "fp-a"},
+        metrics={"tokens_through": 100, "link_config": "fp-a",
+                 "delta_scoped": True},
     )
     tbl.append(
         spark.range(5).selectExpr("id as v"), metrics={"tokens_through": 250}
@@ -689,8 +690,12 @@ def test_table_level_metrics_survive_compact_and_expire(spark, tmp_path):
     assert len(tbl.history()) == 1
     assert last(tbl, "tokens_through") == 250
     assert last(tbl, "link_config") == "fp-a"
-    # the compact snapshot's own lineage is its own, not a stale carry
+    # the compact snapshot's own lineage is its own, not a stale carry,
+    # and per-commit keys (whitelist polarity) are NOT smeared onto it:
+    # a compact wearing a merge's delta_scoped=True would misdescribe a
+    # full rewrite as a delta-scoped commit
     assert tbl.snapshot().metrics["lineage"]["n_partitions"] == 1
+    assert "delta_scoped" not in tbl.snapshot().metrics
 
     # expire WITHOUT a prior compact: keys recorded only in older
     # manifests fold into the current one, newest value winning

@@ -229,20 +229,17 @@ def test_assemble_corpus_plan_shape(spark, docs):
     exchange, and (b) the post-checkpoint plan of the full composition
     (broadcast joins + pid-keyed windows).  The dedup internals between
     them carry their own plan gates (test_physical_plans / dedup tests)."""
-    from omop_concept_automapper_spark.operators.dedup import dedup_clusters
     from omop_concept_automapper_spark.operators.packing import _range_stage
-    from omop_concept_automapper_spark.plans.corpus import quality_survivors
-    from omop_concept_automapper_spark.functions.text import token_count
-    from omop_concept_automapper_spark.plans.corpus import assemble_corpus
+    from omop_concept_automapper_spark.plans.corpus import (
+        assemble_corpus,
+        kept_docs,
+    )
 
-    q = quality_survivors(docs, 5000)
-    keepers = dedup_clusters(q).where(F.col("is_keeper") == 1).select("doc_id")
-    kept = q.join(keepers, "doc_id").withColumn(
-        "n_tokens", token_count("text").cast("long")
-    )
-    ones = kept.select("source", "doc_id", "n_tokens").withColumn(
-        "_one", F.lit(1).cast("long")
-    )
+    # kept_docs IS the production stage-1 lineage (assemble_corpus calls
+    # it), so this plan can't silently drift from the real pipeline
+    ones = kept_docs(docs, 5000).select(
+        "source", "doc_id", "n_tokens"
+    ).withColumn("_one", F.lit(1).cast("long"))
     staged = _range_stage(ones, ["source", "doc_id"])
     pre = staged._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in pre

@@ -141,19 +141,24 @@ def test_pack_watermark_survives_maintenance(spark, tmp_path, landed):
     """Compact + expire used to fold forward only stream-batch markers,
     losing the tokens_through watermark — the next batch then restarted
     offsets at 0 over committed history (silent corruption).  Run the fold
-    with maintenance after EVERY batch, land a fourth wave, drain again:
-    offsets must continue exactly, replay must stay exactly-once."""
+    with manifest bounding after EVERY batch, then a caller-scheduled
+    compact+expire(keep_last=1), land a fourth wave, drain again: offsets
+    must continue exactly, replay must stay exactly-once."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
     tbl = wh.table("packed")
     stream_pack_sequences(
         spark, landed, tbl, str(tmp_path / "ckpt"), chunk_tokens=32,
-        max_files_per_trigger=1, compact_every=1,
+        max_files_per_trigger=1, keep_manifests=1,
     )
     hist = tbl.history()
-    # maintenance really ran and expired the per-batch appends
-    assert any((s.metrics or {}).get("compacted") for s in hist)
-    assert len(hist) <= 2  # compacted snapshot (+ at most one fresh append)
-    assert len(tbl.applied_stream_batch_ids()) == 3  # replay guard carried
+    # per-batch expire really bounded the manifest history without
+    # touching data or the replay guard
+    assert len(hist) == 1
+    assert len(tbl.applied_stream_batch_ids()) == 3
+
+    # caller-scheduled data compaction: the harshest maintenance cycle
+    tbl.compact()
+    tbl.expire_snapshots(keep_last=1)
 
     wave4 = _doc_rows(n_waves=1, start=120)[0]
     spark.createDataFrame(wave4, DOCS_STREAM_SCHEMA).coalesce(
@@ -161,7 +166,7 @@ def test_pack_watermark_survives_maintenance(spark, tmp_path, landed):
     ).write.mode("append").parquet(landed)
     stream_pack_sequences(
         spark, landed, tbl, str(tmp_path / "ckpt"), chunk_tokens=32,
-        max_files_per_trigger=1, compact_every=1,
+        max_files_per_trigger=1, keep_manifests=1,
     )
 
     got = tbl.read().orderBy("doc_id").toPandas()
@@ -173,15 +178,16 @@ def test_pack_watermark_survives_maintenance(spark, tmp_path, landed):
     # replay the full history through a fresh checkpoint: nothing doubles
     stream_pack_sequences(
         spark, landed, tbl, str(tmp_path / "ckpt2"), chunk_tokens=32,
-        max_files_per_trigger=1, compact_every=1,
+        max_files_per_trigger=1, keep_manifests=1,
     )
     assert tbl.read().count() == len(got)
 
 
 def test_mixture_watermark_survives_maintenance(spark, tmp_path, landed):
     """Same maintenance hazard for the per-source sequence map: after
-    compact+expire on every batch, a fourth wave must continue each
-    source's numbering, matching the batch twin over the union."""
+    per-batch expire plus a caller compact+expire, a fourth wave must
+    continue each source's numbering, matching the batch twin over the
+    union."""
     from omop_concept_automapper_spark.operators.packing import (
         mixture_interleave,
     )
@@ -191,9 +197,11 @@ def test_mixture_watermark_survives_maintenance(spark, tmp_path, landed):
     tbl = wh.table("schedule")
     stream_mixture_interleave(
         spark, landed, tbl, str(tmp_path / "ckpt"), weights,
-        max_files_per_trigger=1, compact_every=1,
+        max_files_per_trigger=1, keep_manifests=1,
     )
-    assert any((s.metrics or {}).get("compacted") for s in tbl.history())
+    assert len(tbl.history()) == 1
+    tbl.compact()
+    tbl.expire_snapshots(keep_last=1)
 
     wave4 = _doc_rows(n_waves=1, start=120)[0]
     spark.createDataFrame(wave4, DOCS_STREAM_SCHEMA).coalesce(
@@ -201,7 +209,7 @@ def test_mixture_watermark_survives_maintenance(spark, tmp_path, landed):
     ).write.mode("append").parquet(landed)
     stream_mixture_interleave(
         spark, landed, tbl, str(tmp_path / "ckpt"), weights,
-        max_files_per_trigger=1, compact_every=1,
+        max_files_per_trigger=1, keep_manifests=1,
     )
 
     got = tbl.read().orderBy("doc_id").toPandas()
