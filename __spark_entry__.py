@@ -635,6 +635,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return chunk_manifest(pack_sequences(d, chunk_tokens=256), 256)
 
+    def pack_chunks_gate(spark, sf):
+        # NEW r5: the full pack-and-write path — actual fixed-size chunk
+        # token arrays, assembled via map-side slicing + ONE uniform
+        # chunk_id shuffle (operators/packing.py materialize_chunks)
+        from omop_concept_automapper_spark.operators.packing import (
+            materialize_chunks,
+        )
+
+        d = _t(spark, sf, "documents")
+        return materialize_chunks(d, 256)
+
     def corpus_assembly_gate(spark, sf):
         # NEW r5: the training-corpus pipeline composed end to end —
         # quality gate -> near-dup keeper -> mixture schedule -> packed
@@ -1143,7 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS snapshot covers
     # only the first 50 entries. The r5-NEW gates (kg_mention_freqs_token_20k,
     # ann_ivf_approx, text_winnow_fingerprints, text_bpeish_tokens,
-    # pack_sequences, mixture_interleave, chunk_manifest,
+    # pack_sequences, mixture_interleave, chunk_manifest, pack_chunks,
     # corpus_assembly) and the three whose
     # oracles changed this round (the minhash family) sit inside the window;
     # every demoted gate was driver-green in at least one earlier round and
@@ -1199,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_gate,  # NEW r5
         "mixture_interleave": mixture_interleave_gate,  # NEW r5
         "chunk_manifest": chunk_manifest_gate,  # NEW r5
+        "pack_chunks": pack_chunks_gate,  # NEW r5
         "corpus_assembly": corpus_assembly_gate,  # NEW r5
         "cc_components": cc_components,
         # --- representative relational slice (driver-green r2+r3) ---
@@ -1964,6 +1976,45 @@ def oracle_sql() -> dict[str, str]:
                    greatest(0, chunk_id * 256 - start_off) AS tok_from,
                    least(n_tokens, (chunk_id + 1) * 256 - start_off) AS tok_to
             FROM m""",
+        "pack_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toklist,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+            cum AS (
+              SELECT doc_id, toklist, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cume
+              FROM nz),
+            packed AS (
+              SELECT doc_id, toklist, n_tokens,
+                     CAST(cume - n_tokens AS BIGINT) AS start_off,
+                     CAST((cume - n_tokens) // 256 AS BIGINT) AS first_chunk,
+                     CAST((cume - 1) // 256 AS BIGINT) AS last_chunk
+              FROM cum),
+            m AS (
+              SELECT unnest(generate_series(first_chunk, last_chunk))
+                       AS chunk_id,
+                     doc_id, toklist, start_off, n_tokens
+              FROM packed),
+            pieces AS (
+              SELECT chunk_id,
+                     start_off + greatest(0, chunk_id * 256 - start_off)
+                       AS piece_off,
+                     toklist[greatest(0, chunk_id * 256 - start_off) + 1 :
+                             least(n_tokens, (chunk_id + 1) * 256 - start_off)]
+                       AS piece
+              FROM m)
+            SELECT chunk_id,
+                   CAST(len(flatten(list(piece ORDER BY piece_off)))
+                        AS BIGINT) AS n_tokens,
+                   flatten(list(piece ORDER BY piece_off)) AS tokens
+            FROM pieces GROUP BY chunk_id""",
         "mixture_interleave": """
             WITH w(source, wt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
             rn AS (

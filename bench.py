@@ -42,6 +42,7 @@ HEADLINE = [
     "pack_sequences",
     "mixture_interleave",
     "chunk_manifest",
+    "pack_chunks",
     "corpus_assembly",
     "cc_components",
     "j10_asof_join",

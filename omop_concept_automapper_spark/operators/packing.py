@@ -188,7 +188,10 @@ def pack_sequences(
 
 
 def chunk_manifest(
-    packed: DataFrame, chunk_tokens: int, order_col: str = "doc_id"
+    packed: DataFrame,
+    chunk_tokens: int,
+    order_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explode a packed layout (``pack_sequences`` / ``assemble_corpus``
     output) into the per-chunk slices a chunk writer materializes: one row
@@ -208,11 +211,13 @@ def chunk_manifest(
     by construction (every chunk holds the same token count).
     """
     L = int(chunk_tokens)
+    keep_cols = list(keep_cols or [])
     return packed.select(
         F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
         order_col,
         "start_off",
         "n_tokens",
+        *[c for c in keep_cols if c not in ("start_off", "n_tokens")],
     ).select(
         "chunk_id",
         order_col,
@@ -220,6 +225,61 @@ def chunk_manifest(
         F.expr(f"least(n_tokens, (chunk_id + 1) * {L} - start_off)").alias(
             "tok_to"
         ),
+        *keep_cols,
+    )
+
+
+def materialize_chunks(
+    docs: DataFrame,
+    chunk_tokens: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assemble the actual fixed-size training chunks: one row per
+    ``chunk_id`` with its token array (length exactly ``chunk_tokens``,
+    final partial chunk excepted) — the full pack-and-write path, without
+    ever materializing the concatenated token stream on one node.
+
+    Plan shape: tokens cross the network twice — once co-partitioning the
+    token arrays with their routing rows (the ``order_col`` equi-join;
+    the manifest side carries no text), once delivering each SLICED piece
+    to its chunk.  The delivery shuffle is keyed by ``chunk_id``, uniform
+    by construction (every chunk holds the same token count), so neither
+    doc-length nor source skew can concentrate a task.  Within a chunk,
+    pieces are reassembled in stream order by their global offset using
+    array HOFs (sort + flatten), all JVM-side.
+    """
+    L = int(chunk_tokens)
+    packed = pack_sequences(docs, L, order_col=order_col, text_col=text_col)
+    man = chunk_manifest(packed, L, order_col, keep_cols=["start_off"])
+    toks = docs.select(
+        order_col,
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    pieces = man.join(toks, order_col).select(
+        "chunk_id",
+        (F.col("start_off") + F.col("tok_from")).alias("_piece_off"),
+        F.expr("slice(_toks, tok_from + 1, tok_to - tok_from)").alias(
+            "_piece"
+        ),
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_piece_off", "_piece"))
+                    ),
+                    lambda x: x["_piece"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            "chunk_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            "tokens",
+        )
     )
 
 

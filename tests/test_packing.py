@@ -121,7 +121,32 @@ def test_chunk_manifest_covers_stream_exactly(spark, docs):
                 g["tok_to"].iloc[:-1].to_numpy()).all()
 
 
-def test_mixture_interleave_is_proportional_and_deterministic(spark):
+def test_materialize_chunks_reassembles_the_stream(spark, docs):
+    """The assembled chunks ARE the concatenated doc-order token stream
+    cut every chunk_tokens: all chunks full except the last, and the
+    concatenation of chunk token arrays equals the concatenation of every
+    surviving doc's tokens."""
+    from omop_concept_automapper_spark.operators.packing import (
+        materialize_chunks,
+    )
+
+    L = 64
+    got = (
+        materialize_chunks(docs, chunk_tokens=L)
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    assert len(got) > 1
+    assert (got["n_tokens"].iloc[:-1] == L).all()
+    assert 0 < got["n_tokens"].iloc[-1] <= L
+    assert (got["tokens"].map(len) == got["n_tokens"]).all()
+    assert got["chunk_id"].tolist() == list(range(len(got)))
+
+    stream = [t for arr in got["tokens"] for t in arr]
+    exp = []
+    for r in docs.orderBy("doc_id").select("text").collect():
+        exp.extend(r["text"].strip().split())
+    assert stream == exp
     rows = [(i, ["web", "wiki", "code"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     weights = {"web": 6, "wiki": 3, "code": 1}
