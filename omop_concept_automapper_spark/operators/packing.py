@@ -211,7 +211,11 @@ def chunk_manifest(
     by construction (every chunk holds the same token count).
     """
     L = int(chunk_tokens)
-    keep_cols = list(keep_cols or [])
+    # drop keep_cols the output selects anyway — a duplicate selection
+    # would make the second projection's references ambiguous
+    keep_cols = [
+        c for c in (keep_cols or []) if c not in ("chunk_id", order_col)
+    ]
     return packed.select(
         F.explode(F.sequence("first_chunk", "last_chunk")).alias("chunk_id"),
         order_col,
@@ -250,12 +254,16 @@ def materialize_chunks(
     array HOFs (sort + flatten), all JVM-side.
     """
     L = int(chunk_tokens)
-    packed = pack_sequences(docs, L, order_col=order_col, text_col=text_col)
-    man = chunk_manifest(packed, L, order_col, keep_cols=["start_off"])
+    # tokenize ONCE: pack_sequences would otherwise regex-split every
+    # doc's text a second time via token_count — feed it the size of the
+    # same array the slicer consumes (identical count by construction)
     toks = docs.select(
         order_col,
         F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+        token_count(text_col).cast("long").alias("_n"),
     )
+    packed = pack_sequences(toks, L, order_col=order_col, token_col="_n")
+    man = chunk_manifest(packed, L, order_col, keep_cols=["start_off"])
     pieces = man.join(toks, order_col).select(
         "chunk_id",
         (F.col("start_off") + F.col("tok_from")).alias("_piece_off"),

@@ -147,6 +147,9 @@ def test_materialize_chunks_reassembles_the_stream(spark, docs):
     for r in docs.orderBy("doc_id").select("text").collect():
         exp.extend(r["text"].strip().split())
     assert stream == exp
+
+
+def test_mixture_interleave_is_proportional_and_deterministic(spark):
     rows = [(i, ["web", "wiki", "code"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     weights = {"web": 6, "wiki": 3, "code": 1}
