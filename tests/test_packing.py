@@ -149,6 +149,24 @@ def test_materialize_chunks_reassembles_the_stream(spark, docs):
     assert stream == exp
 
 
+def test_materialize_chunks_plan_shape(spark, docs):
+    """Chunk assembly must never collapse to one task, and the chunk
+    delivery aggregation must have a map-side partial (partial_collect_
+    list) so only grouped pieces cross the chunk_id exchange."""
+    from omop_concept_automapper_spark.operators.packing import (
+        materialize_chunks,
+    )
+
+    plan = (
+        materialize_chunks(docs, 256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "partial_collect_list" in plan
+
+
 def test_mixture_interleave_is_proportional_and_deterministic(spark):
     rows = [(i, ["web", "wiki", "code"][i % 3]) for i in range(3000)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
