@@ -638,13 +638,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pack_chunks_gate(spark, sf):
         # NEW r5: the full pack-and-write path — actual fixed-size chunk
         # token arrays, assembled via map-side slicing + ONE uniform
-        # chunk_id shuffle (operators/packing.py materialize_chunks)
+        # chunk_id shuffle (operators/packing.py materialize_chunks).
+        # r6: the gate renders the token array as a scalar string so the
+        # driver's pandas canonicalizer can sort rows (list cells are
+        # unhashable there); materialize_chunks itself keeps returning the
+        # real array<string> for consumers.
         from omop_concept_automapper_spark.operators.packing import (
             materialize_chunks,
         )
 
         d = _t(spark, sf, "documents")
-        return materialize_chunks(d, 256)
+        chunks = materialize_chunks(d, 256)
+        return chunks.select(
+            "chunk_id",
+            "n_tokens",
+            F.concat_ws(" ", F.col("tokens")).alias("tokens_str"),
+        )
 
     def corpus_assembly_gate(spark, sf):
         # NEW r5: the training-corpus pipeline composed end to end —
@@ -1530,7 +1539,12 @@ def _ivf_approx_sql() -> str:
         vec_ids, vectors, list(range(8)), k=5, n_centroids=16, n_probe=4,
         fit_sample_rows=500,
     )
-    vals = ", ".join(f"({q}, {v}, {r}, {bp})" for (q, v, r, bp) in rows)
+    # cosine_bp is None for zero-norm pairs (mirrors try_divide NULL);
+    # render it as SQL NULL, not the invalid literal `None`
+    vals = ", ".join(
+        f"({q}, {v}, {r}, {'NULL' if bp is None else bp})"
+        for (q, v, r, bp) in rows
+    )
     return (
         f"SELECT CAST(query_id AS BIGINT) AS query_id, "
         f"CAST(vec_id AS BIGINT) AS vec_id, "
@@ -2013,7 +2027,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT chunk_id,
                    CAST(len(flatten(list(piece ORDER BY piece_off)))
                         AS BIGINT) AS n_tokens,
-                   flatten(list(piece ORDER BY piece_off)) AS tokens
+                   array_to_string(flatten(list(piece ORDER BY piece_off)),
+                                   ' ') AS tokens_str
             FROM pieces GROUP BY chunk_id""",
         "mixture_interleave": """
             WITH w(source, wt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),

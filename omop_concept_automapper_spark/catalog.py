@@ -518,7 +518,7 @@ class Table:
         the same spec.  Applied streaming-batch markers from the whole
         history are folded into the new snapshot's ``stream_batch_ids``,
         and every table-level metric key (newest-wins — see
-        ``_PER_COMMIT_METRIC_KEYS``) is carried forward, so a later
+        ``_TABLE_LEVEL_METRIC_KEYS``) is carried forward, so a later
         expire_snapshots can erase neither the replay guard nor a
         watermark/fingerprint.  Caller ``metrics`` override carried
         values."""

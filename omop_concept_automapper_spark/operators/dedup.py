@@ -326,6 +326,10 @@ def winnow_fingerprints(
     modulus), never double division — packed values exceed the 53-bit
     double mantissa.  Identical integer arithmetic renders in the DuckDB
     oracle, so fingerprints hash-check bit-for-bit.
+
+    Bound: per-document k-gram count must stay below 2^30 (~10^9 tokens per
+    doc) or the packed encoding cannot hold the position; such a row raises
+    instead of silently corrupting fingerprints.
     """
     toks = docs.select("doc_id", tokens_col("text").alias("toks"))
     grams = toks.select(
@@ -350,6 +354,19 @@ def winnow_fingerprints(
             F.col("harr"),
             lambda h, i: h * F.lit(WINNOW_POS_MOD)
             + (F.lit(WINNOW_POS_MOD - 1) - i.cast("long")),
+        ).alias("carr"),
+    )
+    # enforce the packing bound instead of silently corrupting: a doc with
+    # >= 2^30 k-grams would wrap its positions into the hash bits.  One
+    # integer comparison per row; raise_error's NullType coerces into the
+    # array branch.
+    packed = packed.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN size(carr) >= {WINNOW_POS_MOD} THEN raise_error("
+            f"'winnow_fingerprints: document has >= 2^30 k-grams; the "
+            f"packed (hash, position) encoding cannot represent it') "
+            f"ELSE carr END"
         ).alias("carr"),
     )
     m = F.size(F.col("carr"))

@@ -78,6 +78,10 @@ def global_running_total(
     partition totals (callers sum token counts and row counts; cast a
     fractional weight to a fixed-point integer first).  The driver
     materializes only the per-(partition, group) partial sums.
+
+    NULL group values are a group like any other (the offset join is
+    null-safe), so rows with a NULL in ``group_cols`` get a running total
+    instead of silently vanishing through a null-unsafe equi-join.
     """
     group_cols = list(group_cols or [])
     vtype = dict(df.dtypes)[value_col]
@@ -123,10 +127,18 @@ def global_running_total(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # null-safe equality on the group columns: a NULL group is a group,
+    # not a row to drop (a plain equi-join would silently discard it)
+    off_rn = off_df.select(
+        [F.col(c).alias(f"_off_{c}") for c in keys] + [F.col("_offset")]
+    )
+    cond = (staged["_pid"] == off_rn["_off__pid"])
+    for c in group_cols:
+        cond = cond & staged[c].eqNullSafe(off_rn[f"_off_{c}"])
     return (
-        staged.join(F.broadcast(off_df), keys)
+        staged.join(F.broadcast(off_rn), cond)
         .withColumn("_cum", F.sum(F.col(value_col)).over(w) + F.col("_offset"))
-        .drop("_pid", "_offset")
+        .drop("_pid", "_offset", *[f"_off_{c}" for c in keys])
     )
 
 
