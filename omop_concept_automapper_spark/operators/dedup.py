@@ -127,15 +127,14 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """Band the signature, bucket-join docs sharing any band hash.
-
-    One shuffle on (band, bucket); candidate pairs are emitted distinct with
-    doc_id_1 < doc_id_2.  This is the scale path for near-dup at 100 TB:
-    bucket sizes stay small so the self-join never goes quadratic globally.
-    """
+    """Per-doc LSH band buckets ``(doc_id, band, bucket)`` — the banding
+    half of :func:`lsh_candidate_pairs`, split out so the streaming
+    near-dup fold (streaming/corpus.py) can PERSIST each microbatch's
+    buckets and join later batches against the stored history instead of
+    recomputing signatures over the whole corpus."""
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -159,6 +158,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    return bands
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band hash.
+
+    One shuffle on (band, bucket); candidate pairs are emitted distinct with
+    doc_id_1 < doc_id_2.  This is the scale path for near-dup at 100 TB:
+    bucket sizes stay small so the self-join never goes quadratic globally.
+    """
+    bands = band_buckets(signatures, n_bands=n_bands, rows_per_band=rows_per_band)
     left = bands.alias("l")
     right = bands.alias("r")
     return (

@@ -98,6 +98,34 @@ def kept_docs(docs: DataFrame, min_quality_bp: int) -> DataFrame:
     )
 
 
+def schedule_and_pack(
+    kept: DataFrame,
+    weights: dict[str, int],
+    chunk_tokens: int,
+) -> DataFrame:
+    """Stages 3+4 over an already-deduplicated keeper set carrying
+    ``(doc_id, source, n_tokens)``: mixture schedule, then pack offsets in
+    schedule order.  Shared verbatim by the batch chain and the streaming
+    seal (streaming/corpus.py), so the two surfaces cannot diverge — the
+    output is a pure function of the keeper SET (all ordering is
+    data-determined), never of arrival order.
+    """
+    # numbering runs over ALL kept docs (zero-token docs consume schedule
+    # slots); only the packed stream excludes them — same as the oracle
+    sched = mixture_interleave(kept, weights, keep_cols=["n_tokens"])
+    base = sched.where(F.col("n_tokens") > 0)
+
+    order_cols = ["interleave_key", "source", "doc_id"]
+    cum = global_running_total(base, "n_tokens", order_cols)
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "interleave_key",
+        *chunk_route_cols(chunk_tokens),
+    )
+
+
 def assemble_corpus(
     docs: DataFrame,
     weights: dict[str, int] | None = None,
@@ -116,18 +144,4 @@ def assemble_corpus(
     """
     weights = weights or DEFAULT_MIXTURE_WEIGHTS
     kept = kept_docs(docs, min_quality_bp)
-
-    # numbering runs over ALL kept docs (zero-token docs consume schedule
-    # slots); only the packed stream excludes them — same as the oracle
-    sched = mixture_interleave(kept, weights, keep_cols=["n_tokens"])
-    base = sched.where(F.col("n_tokens") > 0)
-
-    order_cols = ["interleave_key", "source", "doc_id"]
-    cum = global_running_total(base, "n_tokens", order_cols)
-    return cum.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        "interleave_key",
-        *chunk_route_cols(chunk_tokens),
-    )
+    return schedule_and_pack(kept, weights, chunk_tokens)
