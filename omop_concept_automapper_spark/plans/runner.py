@@ -311,11 +311,37 @@ class Pipeline:
                 return int(fmt)
         return None
 
-    def stage_graph(self, links: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def stage_graph(
+        self, links: DataFrame, links_snapshot_id: str | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """``links_snapshot_id`` (run/run_incremental pass it) keys the
+        steady-state fast path: the graph is a pure function of (links
+        table content, confidence threshold, target domains, format), so a
+        completed stage whose recorded stamp matches the CURRENT links
+        snapshot + config is already the fixed point — skip with zero data
+        jobs.  A fold that appended links commits a new snapshot id, so
+        the stamp moves and the delta merge runs.  Direct callers passing
+        an arbitrary links frame omit the id and keep the plain
+        completed-marker semantics."""
         nodes_tbl = self.wh.table("nodes")
         edges_tbl = self.wh.table("edges")
+        stamp = None
+        if links_snapshot_id is not None:
+            stamp = "|".join(
+                [
+                    str(links_snapshot_id),
+                    str(self.cfg.confidence_threshold),
+                    ",".join(self.cfg.target_domains or []),
+                    str(GRAPH_FORMAT),
+                ]
+            )
         if self.wh.stage_complete("graph"):
-            return nodes_tbl.read(), edges_tbl.read()
+            meta = (self.wh.stage_metrics("graph") or {}).get("metrics", {})
+            if stamp is None or meta.get("graph_stamp") == stamp:
+                return nodes_tbl.read(), edges_tbl.read()
+            # completed under a different links snapshot / graph config:
+            # the marker no longer proves freshness — recompute (the
+            # bucketed delta merge makes this O(changed), not O(table))
         accepted = accepted_mappings(links, self.cfg.confidence_threshold)
         n_buckets = int(self.cfg.extra.get("n_edge_buckets", 16))
         gm = {"graph_format": GRAPH_FORMAT}
@@ -354,7 +380,12 @@ class Pipeline:
                 bucket_by=("node_h1", n_buckets), metrics=gm,
             )
         self.wh.mark_stage_complete(
-            "graph", {"edges": e_snap.rows_written, "nodes": n_snap.rows_written}
+            "graph",
+            {
+                "edges": e_snap.rows_written,
+                "nodes": n_snap.rows_written,
+                **({"graph_stamp": stamp} if stamp else {}),
+            },
         )
         return nodes_tbl.read(), edges_tbl.read()
 
@@ -504,14 +535,20 @@ class Pipeline:
             orphan_concepts
         )
         gm = {**gm, "delta_scoped": True}
+        # nodes commit FIRST: the empty-delta early return above detects
+        # "already applied" from the EDGES table, so edges must be the
+        # lagging commit — a crash between the two merges then replays
+        # with a non-empty delta and redoes both (idempotent upserts),
+        # instead of the early return permanently skipping a nodes update
+        # whose edges half already landed
+        n_snap = nodes_tbl.merge_upsert(
+            partial_nodes, keys=["node_h1", "node_h2"],
+            bucket_by=("node_h1", n_buckets), metrics=gm,
+        )
         e_snap = edges_tbl.merge_upsert(
             delta_edges,
             keys=["subj_h1", "subj_h2"],
             bucket_by=("subj_h1", n_buckets), metrics=gm,
-        )
-        n_snap = nodes_tbl.merge_upsert(
-            partial_nodes, keys=["node_h1", "node_h2"],
-            bucket_by=("node_h1", n_buckets), metrics=gm,
         )
         return e_snap, n_snap
 
@@ -582,16 +619,12 @@ class Pipeline:
             occ_metrics = (
                 {"stream_batch_id": batch_id} if batch_id is not None else None
             )
-            prior_dirs = (
-                set(occ_tbl.snapshot().live_dirs) if occ_tbl.exists() else set()
-            )
             occ_snap = occ_tbl.append(new_occ, metrics=occ_metrics)
             occ_rows = occ_snap.rows_written
-            # the just-appended data dirs: the delta, already detected and
-            # written — read it back instead of re-running detection
-            appended_occ = self.spark.read.parquet(
-                *[d for d in occ_snap.live_dirs if d not in prior_dirs]
-            )
+            # the delta is already detected and PINNED (localCheckpoint
+            # above) — hand the same rows downstream instead of re-reading
+            # the just-written parquet dirs (one fewer scan per fold)
+            appended_occ = new_occ
         else:
             occ_rows = 0
         if appended_occ is not None and m_tbl.exists():
@@ -614,6 +647,12 @@ class Pipeline:
                     F.col("freq") + F.coalesce(F.col("freq_prior"), F.lit(0)),
                 )
                 .drop("freq_prior")
+                # O(dim) rows — pin them: merge_upsert consumes its delta
+                # TWICE (affected-bucket collect, then the bucketed write),
+                # and without the checkpoint each pass re-plans and re-runs
+                # the salted-agg + dim-join chain (~half the 1% fold's
+                # fixed latency in the event-log profile, r5 verdict #3)
+                .localCheckpoint(eager=True)
             )
             m_snap = m_tbl.merge_upsert(
                 merged_dim,
@@ -636,13 +675,19 @@ class Pipeline:
                 "dim_path": dim_path,
             },
         )
-        # reopen downstream stages; their tables stay — links resume
-        # row-level, graph merges bucket-scoped
+        # reopen the links stage; its table stays — linking resumes
+        # row-level.  The graph stage is NOT blindly reset: stage_graph's
+        # links-snapshot stamp decides — a steady-state fold whose links
+        # resume was a no-op (same snapshot, same config) skips the whole
+        # graph recompute with zero data jobs, while any links commit
+        # moves the stamp and triggers the bucketed delta merge.
         self.wh.reset_stage("links")
-        self.wh.reset_stage("graph")
         mentions = self.wh.table("mentions").read()
         links = self.stage_links(mentions, vocab)
-        nodes, edges = self.stage_graph(links)
+        nodes, edges = self.stage_graph(
+            links,
+            links_snapshot_id=self.wh.table("links").current_snapshot_id(),
+        )
         return {
             "vocab_embeddings": vocab,
             "mentions": mentions,
@@ -663,7 +708,10 @@ class Pipeline:
         vocab = self.stage_vocab_embeddings(concept, relationship, ancestor)
         mentions = self.stage_mentions(transcripts, lexicon)
         links = self.stage_links(mentions, vocab)
-        nodes, edges = self.stage_graph(links)
+        nodes, edges = self.stage_graph(
+            links,
+            links_snapshot_id=self.wh.table("links").current_snapshot_id(),
+        )
         return {
             "vocab_embeddings": vocab,
             "mentions": mentions,
