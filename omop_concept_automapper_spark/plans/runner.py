@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 import json
 import os
 
-from omop_concept_automapper_spark.catalog import Warehouse
+from omop_concept_automapper_spark.catalog import Warehouse, _job_description
 from omop_concept_automapper_spark.functions.embedder import EMBEDDER_VERSION
 from omop_concept_automapper_spark.operators.knn import (
     build_vocab_index_files,
@@ -609,9 +609,12 @@ class Pipeline:
             # entirely — their read-locality benefit is delivered by the
             # periodic compaction (which rewrites through the table layout)
             # and not worth two extra jobs per fold; large batches keep it.
-            new_occ = extract_mention_occurrences(
-                new_transcripts, surface_forms
-            ).localCheckpoint(eager=True)
+            with _job_description(
+                self.spark.sparkContext, "fold: detect occurrences (delta)"
+            ):
+                new_occ = extract_mention_occurrences(
+                    new_transcripts, surface_forms
+                ).localCheckpoint(eager=True)
             if new_occ.count() >= int(
                 self.cfg.extra.get("range_partition_min_rows", 1_000_000)
             ):
@@ -638,22 +641,27 @@ class Pipeline:
             prior_freq = m_tbl.read().select(
                 "mention_id", "mention_id2", F.col("freq").alias("freq_prior")
             )
-            merged_dim = (
-                delta_dim.join(
-                    prior_freq, ["mention_id", "mention_id2"], "left"
+            with _job_description(
+                self.spark.sparkContext, "fold: dim delta agg + freq merge"
+            ):
+                merged_dim = (
+                    delta_dim.join(
+                        prior_freq, ["mention_id", "mention_id2"], "left"
+                    )
+                    .withColumn(
+                        "freq",
+                        F.col("freq")
+                        + F.coalesce(F.col("freq_prior"), F.lit(0)),
+                    )
+                    .drop("freq_prior")
+                    # O(dim) rows — pin them: merge_upsert consumes its
+                    # delta TWICE (affected-bucket collect, then the
+                    # bucketed write), and without the checkpoint each pass
+                    # re-plans and re-runs the salted-agg + dim-join chain
+                    # (~half the 1% fold's fixed latency in the event-log
+                    # profile, r5 verdict #3)
+                    .localCheckpoint(eager=True)
                 )
-                .withColumn(
-                    "freq",
-                    F.col("freq") + F.coalesce(F.col("freq_prior"), F.lit(0)),
-                )
-                .drop("freq_prior")
-                # O(dim) rows — pin them: merge_upsert consumes its delta
-                # TWICE (affected-bucket collect, then the bucketed write),
-                # and without the checkpoint each pass re-plans and re-runs
-                # the salted-agg + dim-join chain (~half the 1% fold's
-                # fixed latency in the event-log profile, r5 verdict #3)
-                .localCheckpoint(eager=True)
-            )
             m_snap = m_tbl.merge_upsert(
                 merged_dim,
                 keys=["mention_id", "mention_id2"],
