@@ -113,6 +113,20 @@ def main() -> None:
         shutil.rmtree(work_delta, ignore_errors=True)
     timings["kg_delta_fold_1pct"] = dd["sec_delta_fold"]
 
+    # IVF payoff (r5 verdict ask #6): prebuilt partition-pruned index vs
+    # brute-force scan over a 2M-vector clustered corpus, same matmul
+    # kernel both sides — the timed entry is the IVF query; speedup /
+    # recall / scan fraction ride along as extra fields
+    from omop_concept_automapper_spark.benchkit import run_ivf_payoff_bench
+
+    ivf_n = int(os.environ.get("SPARK_GRAFT_IVF_PAYOFF_VECTORS", "2000000"))
+    work_ivf = tempfile.mkdtemp(prefix="ivf_payoff_")
+    try:
+        ivf = run_ivf_payoff_bench(spark, work_ivf, n_vectors=ivf_n)
+    finally:
+        shutil.rmtree(work_ivf, ignore_errors=True)
+    timings["ann_ivf_payoff_query"] = ivf["sec_ivf_query"]
+
     # CC at scale: 10^6 edges including a 200k-degree hub (SCALE.md claim:
     # hubs contract in one round, rounds stay O(log n))
     from pyspark.sql import functions as F
@@ -180,6 +194,12 @@ def main() -> None:
         "kg_delta_dim_path": dd["dim_path"],
         "cc_1m_rounds": cc_stats.get("rounds"),
         "cc_10m_rounds": cc10_stats.get("rounds"),
+        "ivf_payoff_n_vectors": ivf["n_vectors"],
+        "ivf_payoff_sec_brute": ivf["sec_brute_query"],
+        "ivf_payoff_sec_build": ivf["sec_ivf_build"],
+        "ivf_payoff_speedup": ivf["speedup_query"],
+        "ivf_payoff_recall_at_k": ivf["recall_at_k"],
+        "ivf_payoff_scan_fraction": ivf["scan_fraction"],
     }
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()

@@ -461,12 +461,29 @@ def integer_kmeans(
     BLAS implementations.  That determinism is what lets the approximate
     path's recall be pinned by a literal VALUES oracle
     (round-2 verdict ask #4) instead of a tolerance band.
+
+    Init is deterministic farthest-first traversal (k-center greedy):
+    seed 0 is the first sample row, each next seed is the point farthest
+    from its nearest chosen seed (ties -> lowest index).  The earlier
+    uniform-RNG choice collided seeds inside the same natural cluster
+    with high probability at k ~ #clusters (coupon collector), which
+    merged clusters into jumbo inverted lists Lloyd cannot split —
+    measured 17/64 split blobs and a 5x-oversized top list on the payoff
+    bench corpus.  Farthest-first places one seed per well-separated
+    cluster by construction; its known outlier bias is then smoothed by
+    the Lloyd iterations.  ``seed`` is retained for signature stability
+    but no longer consumed — the fit is now RNG-free end to end.
     """
-    rng = np.random.default_rng(seed)
     n = sample.shape[0]
     k = min(n_centroids, n)
-    init = np.sort(rng.choice(n, size=k, replace=False))
-    cent = sample[init].astype(np.float64)
+    X = sample.astype(np.float64)
+    chosen = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))  # first maximum -> lowest index tie-break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    cent = X[np.asarray(chosen)]
     for _ in range(n_iters):
         assign = assign_euclidean(sample, cent)
         for c in range(k):
@@ -492,6 +509,126 @@ def _probe_lists(q: np.ndarray, cent: np.ndarray, n_probe: int) -> np.ndarray:
     """The n_probe nearest centroid ids for one query (dist2 asc, id asc)."""
     d2 = ((cent - q) ** 2).sum(axis=1)
     return np.lexsort((np.arange(len(d2)), d2))[:n_probe]
+
+
+def ivf_build_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    index_path: str,
+    n_centroids: int = 64,
+    fit_sample_rows: int = 50_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index: quantizer fit on a deterministic sample,
+    one map-only assignment pass, then (vec_id, embedding) written to
+    ``index_path`` PARTITIONED BY inverted-list id.
+
+    This is the missing half of the 10^9-vector IVF story that
+    :func:`ivf_topk` (which fuses fit+assign+probe into one call) cannot
+    show: the build cost — one full scan — is paid ONCE and amortized over
+    every subsequent query, and because the lists are parquet partitions a
+    probe becomes partition PRUNING at the source: a query physically reads
+    ``n_probe / n_centroids`` of the corpus, it does not scan-then-filter.
+    Returns the centroid matrix (O(n_centroids * dim), driver-resident —
+    persist it next to the index for query processes).
+    """
+    n_rows = embeddings.count()
+    mod = max(1, -(-n_rows // fit_sample_rows))
+    cent, assigned = _sampled_quantizer(
+        spark, embeddings, mod, n_centroids, seed, fit_sample_rows
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(index_path)
+    return cent
+
+
+def ivf_search(
+    spark: SparkSession,
+    index: DataFrame,
+    cent: np.ndarray,
+    queries: pd.DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a prebuilt IVF index (see :func:`ivf_build_index`): per query,
+    probe the ``n_probe`` nearest inverted lists, exact cosine within the
+    probed lists only, global top-k merge.
+
+    ``index``: DataFrame (vec_id, embedding, cluster) — pass the parquet
+    written by ``ivf_build_index`` filtered with ``.where(col('cluster')
+    .isin(...))`` so the probe set prunes partitions at the scan.
+    ``queries``: pandas (query_id int, vector list[float]) — O(queries)
+    driver-resident, same contract as :func:`knn_join`.
+
+    Scoring uses the same Arrow-batched matmul kernel as ``knn_join``
+    (blocked qmat @ emat.T per batch), so the brute-vs-IVF comparison in
+    the payoff bench differs ONLY in how many rows reach the kernel — the
+    100 TB claim being measured.  There is NO candidate join: each probed
+    row is scored against every query in one matmul and a broadcast
+    (query x cluster) boolean mask zeroes out pairs whose list the query
+    did not probe — a per-batch O(n_q x n_centroids) bitmap instead of a
+    shuffle of candidate embeddings (the join-based first cut shuffled
+    every candidate row per probing query and lost to brute force outright
+    at 2M vectors).  Plan shape: pruned scan -> mapInPandas -> top-k
+    window merge on O(tasks x queries x k) partials.  Tie rule (cosine
+    desc, vec_id asc) matches every other kNN path in this module.
+    """
+    qids = queries["query_id"].to_numpy(np.int64)
+    qmat = np.asarray([np.asarray(v, dtype=np.float64) for v in queries["vector"]])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qmat = qmat / qnorm
+    n_cent = len(cent)
+    mask = np.zeros((len(qids), n_cent), dtype=bool)
+    for i in range(len(qids)):
+        qv = np.asarray(queries["vector"].iloc[i], dtype=np.float64)
+        mask[i, _probe_lists(qv, cent, n_probe)] = True
+    bc = spark.sparkContext.broadcast((qids, qmat, mask))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_, mask_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            enorm = np.linalg.norm(emat, axis=1, keepdims=True)
+            enorm[enorm == 0] = 1.0
+            emat = emat / enorm
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            clusters = pdf["cluster"].to_numpy(np.int64)
+            scores = qmat_ @ emat.T  # (n_q, n_batch)
+            allowed = mask_[:, clusters]  # (n_q, n_batch)
+            allowed &= vec_ids[None, :] != qids_[:, None]  # self-exclusion
+            scores = np.where(allowed, scores, -np.inf)
+            out = []
+            for qi in range(scores.shape[0]):
+                row = scores[qi]
+                cand = np.flatnonzero(row > -np.inf)
+                if cand.size == 0:
+                    continue
+                # pinned tie rule (-score, vec_id asc), same partial-top-k
+                # boundary handling as knn_join
+                kk = min(k, cand.size)
+                order = np.lexsort((vec_ids[cand], -row[cand]))
+                for j in cand[order[:kk]]:
+                    out.append((int(qids_[qi]), int(vec_ids[j]), float(row[j])))
+            yield pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+
+    partials = index.select("vec_id", "embedding", "cluster").mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.round(F.col("cosine") * 10000).cast("long").alias("cosine_bp"),
+        )
+    )
 
 
 def ivf_recall_report(

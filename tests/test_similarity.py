@@ -436,3 +436,89 @@ def test_zero_norm_vector_yields_null_cosine_not_error(spark):
     # the zero vector is present, last, with a NULL similarity
     by_rank = sorted(got_t, key=lambda t: t[2])
     assert by_rank[-1][1] == 2 and by_rank[-1][3] is None
+
+
+def test_ivf_build_and_search_exact_within_probed_lists(spark, tmp_path):
+    """ivf_search over a prebuilt partitioned index returns EXACTLY the
+    brute-force top-k computed over the union of each query's probed
+    lists (the approximation is which lists are probed, never the math
+    within them), and every returned neighbor lives in a probed list."""
+    from omop_concept_automapper_spark.benchkit import clustered_embeddings
+    from omop_concept_automapper_spark.operators.similarity import (
+        _probe_lists,
+        ivf_build_index,
+        ivf_search,
+    )
+
+    emb = clustered_embeddings(spark, 4000, dim=16, n_blobs=8)
+    idx_path = str(tmp_path / "ivf_idx")
+    cent = ivf_build_index(spark, emb, idx_path, n_centroids=8)
+    assert cent.shape == (8, 16)
+
+    rows = emb.collect()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"]) for r in rows}
+    qids = [0, 1, 2, 3]
+    queries = pd.DataFrame(
+        {"query_id": qids, "vector": [list(by_id[q]) for q in qids]}
+    )
+    n_probe = 2
+    probes = {
+        q: set(
+            int(c)
+            for c in _probe_lists(np.asarray(by_id[q], float), cent, n_probe)
+        )
+        for q in qids
+    }
+    union = sorted(set().union(*probes.values()))
+
+    index = spark.read.parquet(idx_path).where(F.col("cluster").isin(union))
+    got_df = ivf_search(spark, index, cent, queries, k=5, n_probe=n_probe)
+    got = {}
+    cluster_of = {
+        int(r["vec_id"]): int(r["cluster"])
+        for r in spark.read.parquet(idx_path).collect()
+    }
+    for r in got_df.collect():
+        got.setdefault(int(r["query_id"]), []).append(
+            (int(r["rank"]), int(r["vec_id"]))
+        )
+        # membership law: neighbors only from lists THIS query probed
+        assert cluster_of[int(r["vec_id"])] in probes[int(r["query_id"])]
+    got = {q: [v for _, v in sorted(vs)] for q, vs in got.items()}
+
+    # numpy reference: exact cosine top-5 within each query's probed lists
+    for q in qids:
+        cand_ids = sorted(
+            v for v, c in cluster_of.items() if c in probes[q] and v != q
+        )
+        mat = np.asarray([by_id[v] for v in cand_ids], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qv = by_id[q] / np.linalg.norm(by_id[q])
+        sims = mat @ qv
+        order = np.lexsort((np.asarray(cand_ids), -sims))
+        want = [int(cand_ids[j]) for j in order[:5]]
+        assert got[q] == want, f"query {q}: {got[q]} != {want}"
+
+
+def test_integer_kmeans_farthest_first_separates_clusters():
+    """With k seeds and k well-separated clusters, farthest-first init
+    lands one seed per cluster — the RNG-choice init this replaced
+    collided seeds (coupon collector) and merged clusters into jumbo
+    inverted lists.  Also: fit is RNG-free, so seed changes nothing."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        assign_euclidean,
+        integer_kmeans,
+    )
+
+    rng = np.random.default_rng(7)  # test-data only; the FIT uses no RNG
+    centers = rng.integers(-500, 500, size=(16, 8)).astype(np.float64)
+    pts = np.repeat(centers, 50, axis=0) + rng.integers(
+        -2, 3, size=(800, 8)
+    ).astype(np.float64)
+    cent_a = integer_kmeans(pts, 16, seed=1)
+    cent_b = integer_kmeans(pts, 16, seed=99)
+    assert np.array_equal(cent_a, cent_b)  # RNG-free: seed is inert
+    assign = assign_euclidean(pts, cent_a)
+    # one list per true cluster, all 50 members together
+    sizes = np.bincount(assign, minlength=16)
+    assert (sizes == 50).all(), sizes
