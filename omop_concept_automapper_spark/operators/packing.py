@@ -276,6 +276,25 @@ def materialize_chunks(
     )
     packed = pack_sequences(toks, L, order_col=order_col, token_col="_n")
     man = chunk_manifest(packed, L, order_col, keep_cols=["start_off"])
+    return chunks_from_manifest(man, toks, order_col=order_col)
+
+
+def chunks_from_manifest(
+    man: DataFrame, toks: DataFrame, order_col: str = "doc_id"
+) -> DataFrame:
+    """Reassemble fixed-size chunks from manifest slices + token arrays —
+    the shared delivery half of :func:`materialize_chunks` and the corpus
+    chunk sink (plans/corpus.py write_corpus_chunks).
+
+    ``man``: chunk_manifest output carrying (chunk_id, order_col,
+    tok_from, tok_to, start_off).  ``toks``: (order_col, _toks
+    array<string>) whose arrays the manifest's spans index — the SAME
+    tokenization that produced the packed layout's token counts, or the
+    spans will slice past array ends.  One equi-join co-partitions spans
+    with their arrays, one chunk_id-keyed shuffle (uniform by
+    construction) delivers sliced pieces; pieces reassemble in stream
+    order by global offset via JVM array HOFs.
+    """
     pieces = man.join(toks, order_col).select(
         "chunk_id",
         (F.col("start_off") + F.col("tok_from")).alias("_piece_off"),

@@ -54,7 +54,9 @@ from omop_concept_automapper_spark.functions.text import (
 )
 from omop_concept_automapper_spark.operators.dedup import dedup_clusters
 from omop_concept_automapper_spark.operators.packing import (
+    chunk_manifest,
     chunk_route_cols,
+    chunks_from_manifest,
     global_running_total,
     mixture_interleave,
 )
@@ -145,3 +147,55 @@ def assemble_corpus(
     weights = weights or DEFAULT_MIXTURE_WEIGHTS
     kept = kept_docs(docs, min_quality_bp)
     return schedule_and_pack(kept, weights, chunk_tokens)
+
+
+def write_corpus_chunks(
+    wh,
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    chunk_tokens: int = 256,
+    min_quality_bp: int = 5000,
+):
+    """Terminal sink of the assembly (r5 verdict ask #7): materialize the
+    actual fixed-``chunk_tokens`` token chunks IN THE CORPUS LAYOUT —
+    ascending (interleave_key, source, doc_id) over quality+dedup
+    survivors — and commit them to the ``corpus_chunks`` catalog table.
+
+    The commit's snapshot records per-partition lineage (the catalog does
+    this for every commit) plus the assembly config that produced it
+    (chunk_tokens, quality bar, mixture weights, docs packed), so a
+    training job can audit exactly which knob setting a chunk set came
+    from.  Returns ``(snapshot, chunks_df)`` where ``chunks_df`` reads the
+    table back.
+
+    Coverage law (tests/test_packing.py): the table's chunks are EXACTLY
+    the chunk_manifest slices reassembled — every chunk holds
+    ``chunk_tokens`` tokens except the single last one, and the
+    concatenation over ascending chunk_id equals the kept docs' token
+    streams concatenated in schedule order.
+
+    Scale shape: one extra equi-join (manifest spans to token arrays —
+    the manifest side carries no text) and one chunk_id-keyed delivery
+    shuffle, uniform by construction; the table write itself partitions
+    however the delivery groupBy left the data, O(total_tokens) once.
+    """
+    weights = weights or DEFAULT_MIXTURE_WEIGHTS
+    packed = assemble_corpus(docs, weights, chunk_tokens, min_quality_bp)
+    # the SAME whitespace tokenization token_count counted: the packed
+    # layout's offsets index these arrays position-for-position
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_toks")
+    )
+    man = chunk_manifest(packed, chunk_tokens, keep_cols=["start_off"])
+    chunks = chunks_from_manifest(man, toks)
+    tbl = wh.table("corpus_chunks")
+    snap = tbl.overwrite(
+        chunks,
+        metrics={
+            "chunk_tokens": int(chunk_tokens),
+            "min_quality_bp": int(min_quality_bp),
+            "mixture_weights": dict(sorted(weights.items())),
+            "n_docs_packed": packed.count(),
+        },
+    )
+    return snap, tbl.read()

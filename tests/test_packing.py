@@ -298,3 +298,68 @@ def test_assemble_corpus_plan_shape(spark, docs):
         .toString()
     )
     assert "SinglePartition" not in post
+
+
+def test_write_corpus_chunks_coverage_law_and_lineage(spark, docs, tmp_path):
+    """The corpus chunk sink (r5 verdict ask #7).  Three laws:
+
+    1. chunks table ≡ chunk_manifest slices: per chunk, the table's token
+       count equals the manifest's summed span widths, chunk ids match
+       exactly, and every chunk holds exactly chunk_tokens tokens except
+       the single last one;
+    2. stream equality: concatenating the table's chunks in ascending
+       chunk_id order reproduces the kept docs' tokens concatenated in
+       schedule order (the sink cannot reorder or drop tokens);
+    3. the commit records per-partition lineage plus the assembly config.
+    """
+    from omop_concept_automapper_spark.catalog import Warehouse
+    from omop_concept_automapper_spark.operators.packing import chunk_manifest
+    from omop_concept_automapper_spark.plans.corpus import (
+        assemble_corpus,
+        write_corpus_chunks,
+    )
+
+    L = 64
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap, chunks_df = write_corpus_chunks(wh, docs, chunk_tokens=L)
+    chunks = sorted(
+        (int(r["chunk_id"]), int(r["n_tokens"]), list(r["tokens"]))
+        for r in chunks_df.collect()
+    )
+    assert len(chunks) > 1
+
+    # law 1: ids and sizes match the manifest's slices exactly
+    packed = assemble_corpus(docs, chunk_tokens=L)
+    man = (
+        chunk_manifest(packed, L)
+        .groupBy("chunk_id")
+        .agg(F.sum(F.col("tok_to") - F.col("tok_from")).alias("w"))
+        .collect()
+    )
+    man_w = {int(r["chunk_id"]): int(r["w"]) for r in man}
+    assert {c for c, _, _ in chunks} == set(man_w)
+    for cid, n, toks in chunks:
+        assert n == man_w[cid] == len(toks)
+    last = max(man_w)
+    for cid, n, _ in chunks:
+        assert n == L or cid == last, (cid, n)
+
+    # law 2: chunk stream == schedule-order token stream
+    rows = packed.orderBy("interleave_key", "source", "doc_id").collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.where(F.trim("text") != "").collect()
+    }
+    want = []
+    for r in rows:
+        want.extend(texts[r["doc_id"]].strip().split())
+    got = [t for _, _, toks in chunks for t in toks]
+    assert got == want
+
+    # law 3: lineage + config on the snapshot
+    m = snap.metrics
+    assert m["chunk_tokens"] == L
+    assert m["n_docs_packed"] == len(rows)
+    assert "mixture_weights" in m and "min_quality_bp" in m
+    assert m["lineage"]["n_files"] >= 1
+    assert sum(m["lineage"]["rows_per_partition"].values()) == len(chunks)
