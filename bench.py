@@ -47,6 +47,12 @@ HEADLINE = [
     "cc_components",
     "j10_asof_join",
     "w5_sessionize",
+    # NEW r6: graph analytics / decontamination / repetition filters
+    "graph_degrees",
+    "graph_pagerank",
+    "graph_triangles",
+    "decontam_overlaps",
+    "text_repetition_metrics",
 ]
 
 

@@ -114,6 +114,71 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def ngram_windows(toks: Column, n: int) -> Column:
+    """Sliding word n-grams (space-joined) over a token-array column;
+    documents shorter than ``n`` tokens yield their whole text as one
+    gram.  ``toks`` should be a materialized attribute when the result is
+    exploded (see dedup._shingles for the re-evaluation caveat)."""
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def dup_ngram_frac_bp(toks: Column, n: int) -> Column:
+    """Fraction of n-gram positions that are repeats of an earlier gram
+    in the SAME document, in basis points (Gopher-style repetition
+    filter, Rae et al. 2021 §A1.1 "duplicate n-gram fraction").
+
+    Map-only: size/array_distinct arithmetic, no shuffle, no explode.
+    """
+    grams = ngram_windows(toks, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        F.round((total - distinct) * 10000.0 / total, 0).cast("long")
+    )
+
+
+def top_ngram_frac_bp(toks: Column, n: int) -> Column:
+    """Fraction of n-gram positions covered by the single most frequent
+    n-gram of the document, in basis points (the companion Gopher rule:
+    a doc whose top bigram covers >18% of it is boilerplate).
+
+    The per-document mode is computed WITHOUT a shuffle: sort the gram
+    array, then one ``aggregate`` pass tracks the longest run of equal
+    adjacent elements.  A groupBy formulation would shuffle one row per
+    (doc, gram) — this stays inside the row.
+    """
+    grams = F.array_sort(ngram_windows(toks, n))
+    longest_run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        F.round(longest_run * 10000.0 / F.size(grams), 0).cast("long")
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Simple document quality heuristic in [0,1]: rewards moderate length,
     penalizes punctuation soup.  Pure column arithmetic."""

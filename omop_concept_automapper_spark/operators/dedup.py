@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from omop_concept_automapper_spark.functions.text import fingerprint, normalize_text
+from omop_concept_automapper_spark.functions.text import (
+    fingerprint,
+    ngram_windows,
+    normalize_text,
+)
 
 
 def tokens_col(col: Column | str) -> Column:
@@ -48,11 +52,7 @@ def _shingles(toks: Column, size: int = 3) -> Column:
     subtree captured by the transform lambda is re-evaluated per element,
     so each shingle re-ran the regex split — O(tokens^2) per document and
     6x the whole minhash gate's runtime (measured at sf0.1)."""
-    n = F.size(toks)
-    return F.when(n >= size, F.transform(
-        F.sequence(F.lit(1), n - size + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    return ngram_windows(toks, size)
 
 
 # (a * h1 + b * h2 + c) mod P is a 2-universal-style hash family over the
