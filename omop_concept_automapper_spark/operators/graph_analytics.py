@@ -111,6 +111,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint: bool = True,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list.
 
@@ -128,14 +129,22 @@ def pagerank(
     """
     edges = _bidir(pairs, src, dst)
     nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
-    n = nodes.count()  # one scalar action; O(1) driver data
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # fold degree into the edge list once; carried through every iteration
+    # fold degree into the edge list once; carried through every iteration.
+    # Both loop-invariant sides are localCheckpoint-ed so the (possibly
+    # expensive) upstream pair derivation runs ONCE, not once per
+    # iteration — without this, iteration k re-executes the caller's
+    # whole candidate-pair pipeline k times.
     edges_deg = edges.join(deg, "src").select("src", "dst", "out_deg")
+    if checkpoint:
+        edges_deg = edges_deg.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()  # one scalar action; O(1) driver data (also
+    # materializes the lazy checkpoints before the loop)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
@@ -155,7 +164,11 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
             ).alias("rank"),
         )
-        if checkpoint:
+        # checkpoint every k-th iteration, not every one: each snapshot is
+        # a materialization barrier (a whole job at small scale), while the
+        # un-truncated plan only grows by `checkpoint_interval` joins —
+        # linear in the interval, so lineage stays bounded either way
+        if checkpoint and (it + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
@@ -165,6 +178,7 @@ def triangle_counts(
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
     degree_oriented: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected pair list.
 
@@ -176,7 +190,14 @@ def triangle_counts(
     hub-taming preprocessing.  The triangle SET is orientation-invariant,
     so the plain-SQL oracle can enumerate over the raw ``a < b`` ordering
     and match exactly.
+
+    ``checkpoint`` snapshots the input pair list once — it is consumed
+    three times (oriented edges, degree side, closing-edge lookup), and
+    without the snapshot a pair list that is itself a pipeline (LSH
+    candidates, a co-occurrence self-join) would re-execute per consumer.
     """
+    if checkpoint:
+        pairs = pairs.localCheckpoint(eager=False)
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if degree_oriented:
         d = degrees(pairs, src, dst).select(
