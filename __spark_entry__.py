@@ -573,6 +573,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 300)
         return lsh_bucketed_topk(emb, k=3, n_planes=6)
 
+    def ann_pq_codes(spark, sf):
+        # NEW r6: product-quantization code index (m=8 subspaces x 16
+        # centroids -> 8 bytes/vector, 32x smaller than the raw floats);
+        # map-only encode after a bounded deterministic sample fit.
+        # Integer fixture + integer-snapped codebooks => codes are a pure
+        # function of (data, knobs), pinned by VALUES from the sequential
+        # twin (operators/pq.py).
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.operators.pq import pq_encode
+
+        p = write_gate_fixtures()
+        emb = spark.read.parquet(p["ivf_embeddings"]).where(
+            F.col("vec_id") < 500
+        )
+        codes = pq_encode(spark, emb, m=8, ks=16)
+        return codes.select(
+            "vec_id",
+            F.concat_ws(
+                "|", F.transform("codes", lambda x: x.cast("string"))
+            ).alias("codes_str"),
+        )
+
+    def ann_pq_topk(spark, sf):
+        # NEW r6: asymmetric-distance (ADC) top-k over PQ codes — per-query
+        # LUT broadcast, fused encode+scan map pass, per-partition partial
+        # top-k, one window finish.  adc_dist is exact on the integer
+        # fixture, so the long cast is lossless and VALUES-pinnable.
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.operators.pq import pq_adc_topk
+
+        p = write_gate_fixtures()
+        emb = spark.read.parquet(p["ivf_embeddings"])
+        out = pq_adc_topk(spark, emb, list(range(8)), k=5, m=8, ks=16)
+        return out.select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+
     # ------------------------------------------------- text analysis
     def text_quality_metrics(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1253,11 +1297,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 entries.  r6 rotation (r5 verdict ask #5): fourteen
     # gates whose last driver row dates from r2/r3 (p2, p6, j7, u1, a2, a3,
     # a6, o2, o3, w2-w4, f_scalar_pack, f_levenshtein) move INTO the window,
-    # plus the five NEW r6 gates (graph_degrees/pagerank/triangles,
-    # decontam_overlaps, text_repetition_metrics); nineteen
-    # multi-round-stable r5-green gates (st5, s1 x2, s2, j5, s3/s6/s7/s8,
-    # p1/p3/p5, a5, j4_checkpoint, j8, o1, dedup_embedding_cosine,
-    # dedup_ngram_jaccard, ann_ivf_recall) rotate out.
+    # plus the seven NEW r6 gates (graph_degrees/pagerank/triangles,
+    # decontam_overlaps, text_repetition_metrics, ann_pq_codes/topk);
+    # twenty-one multi-round-stable r5-green gates (kg_mention_freqs,
+    # kg_mention_freqs_token_path — token_20k stays in as the strictest of
+    # the trio — st5, s1 x2, s2, j5, s3/s6/s7/s8, p1/p3/p5, a5,
+    # j4_checkpoint, j8, o1, dedup_embedding_cosine, dedup_ngram_jaccard,
+    # ann_ivf_recall) rotate out.
     # Gates whose code moved THIS round stay in:
     # pack_chunks (scalar re-render — the one red r5 row), the runner gates
     # (st1/kg_pipeline_edges — graph-stamp fast path), corpus_assembly
@@ -1266,8 +1312,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mirror (tests/test_entry_contract.py).
     return {
         # --- KG / runner gates (code touched r6: graph-stamp fast path) ---
-        "kg_mention_freqs": kg_mention_freqs,
-        "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
         "kg_mention_freqs_token_20k": kg_mention_freqs_token_20k,
         "kg_pipeline_edges_domain_filtered": kg_pipeline_edges_domain_filtered,
         "kg_rejections": kg_rejections,
@@ -1280,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles,
         "decontam_overlaps": decontam_overlaps,
         "text_repetition_metrics": text_repetition_metrics,
+        "ann_pq_codes": ann_pq_codes,
+        "ann_pq_topk": ann_pq_topk,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1326,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j10_asof_join": j10_asof_join,
         "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
         # ---------------- position >50: long-stable, mirror-covered ----
+        "kg_mention_freqs": kg_mention_freqs,
+        "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
         "st5_reset_rebuild": st5_reset_rebuild,
         "s2_merge_upsert": s2_merge_upsert,
         "s1_csv_import": s1_csv_import,
@@ -1761,6 +1809,48 @@ def _gram_sql(n: int, toks: str = "t") -> str:
         f"list_transform(range(1, len({toks}) - {n - 2}), "
         f"i -> array_to_string(({toks})[i:i+{n - 1}], ' ')) "
         f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+def _pq_codes_sql() -> str:
+    """Golden PQ code index from the sequential twin (operators/pq.py
+    sequential_pq_encode) over the integer-vector fixture, restricted to
+    vec_id < 500 like the gate."""
+    from omop_concept_automapper_spark.fixtures.gatefiles import (
+        ivf_embedding_rows,
+    )
+    from omop_concept_automapper_spark.operators.pq import (
+        sequential_pq_encode,
+    )
+
+    vec_ids, vectors = ivf_embedding_rows()
+    sel = vec_ids < 500
+    rows = sequential_pq_encode(vec_ids[sel], vectors[sel], m=8, ks=16)
+    vals = ", ".join(f"({v}, '{s}')" for v, s in rows)
+    return (
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, codes_str "
+        f"FROM (VALUES {vals}) AS t(vec_id, codes_str)"
+    )
+
+
+def _pq_topk_sql() -> str:
+    """Golden ADC top-k from the sequential twin (operators/pq.py
+    sequential_pq_topk): same codebooks, LUT arithmetic, and (dist,
+    vec_id) tie rule as the distributed path."""
+    from omop_concept_automapper_spark.fixtures.gatefiles import (
+        ivf_embedding_rows,
+    )
+    from omop_concept_automapper_spark.operators.pq import sequential_pq_topk
+
+    vec_ids, vectors = ivf_embedding_rows()
+    rows = sequential_pq_topk(vec_ids, vectors, list(range(8)), k=5, m=8, ks=16)
+    vals = ", ".join(f"({q}, {v}, {r}, {d})" for q, v, r, d in rows)
+    return (
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+        f"CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(rank AS INTEGER) AS rank, "
+        f"CAST(adc_dist AS BIGINT) AS adc_dist "
+        f"FROM (VALUES {vals}) AS t(query_id, vec_id, rank, adc_dist)"
     )
 
 
@@ -2387,6 +2477,8 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT v, count(*) AS degree FROM bidir GROUP BY v)
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""",
         "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "ann_pq_codes": _pq_codes_sql(),
+        "ann_pq_topk": _pq_topk_sql(),
         "graph_triangles": f"""
             -- ordered enumeration a < b < c: each triangle exactly once,
             -- then each corner credited (the Spark side enumerates via

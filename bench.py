@@ -53,6 +53,7 @@ HEADLINE = [
     "graph_triangles",
     "decontam_overlaps",
     "text_repetition_metrics",
+    "ann_pq_topk",
 ]
 
 

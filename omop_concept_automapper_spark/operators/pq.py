@@ -1,0 +1,291 @@
+"""Product quantization (PQ) for the ANN family: compress an embedding
+index into per-subspace centroid codes and search with asymmetric
+distance computation (ADC) — the billion-scale design of Jégou et al.
+2011 and FAISS's IVFPQ.
+
+Why this matters at 100 TB: a dim-64 float32 index costs 256 bytes/vector
+on the wire; PQ with m=8 subspaces and 16 centroids each costs 8 bytes —
+a 32x reduction in what a broadcast, a shuffle, or an index scan moves.
+ADC replaces the per-pair dot product with m table lookups into a
+per-query lookup table (LUT) of m x ks precomputed sub-distances.
+
+Scale shape:
+
+* codebook fit is driver-side numpy on a BOUNDED deterministic sample
+  (``vec_id % mod == 0``, same rule as similarity._sampled_quantizer),
+  then broadcast — O(m * ks * dsub) bytes, trivially small;
+* encoding is MAP-ONLY (mapInPandas, Arrow batches): each vector becomes
+  m uint8-sized codes, no shuffle;
+* search broadcasts the query LUT tensor (|Q| x m x ks) and emits only a
+  per-partition partial top-k (<= |Q| * k rows per partition), then one
+  window over (query_id) finishes the global top-k — the same
+  partial-then-window shape as operators/knn.ann_topk;
+* composition with IVF: assign vectors to coarse lists first
+  (similarity.ivf_topk machinery), PQ-encode within probed lists — the
+  two operators share the integer_kmeans quantizer so the composition
+  stays layout-deterministic.
+
+Determinism/oracle story: centroids are INTEGER-SNAPPED
+(similarity.integer_kmeans) and the gate fixture is integer-valued, so
+every LUT entry and every ADC sum is a sum of integers < 2^53 — exactly
+representable in float64 under any partitioning or batch shape.  The
+sequential twins below therefore pin the distributed path with literal
+VALUES, no tolerance band (same argument as the IVF gates, r4 ask #5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from omop_concept_automapper_spark.operators.similarity import (
+    assign_euclidean,
+    integer_kmeans,
+)
+
+
+def pq_fit(sample: np.ndarray, m: int, ks: int) -> np.ndarray:
+    """Fit per-subspace integer-snapped codebooks on a driver-resident
+    sample.  Returns shape (m, ks, dsub).  dim must divide evenly into
+    m subspaces — PQ's contiguous-slice layout."""
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    dsub = dim // m
+    return np.stack(
+        [
+            integer_kmeans(sample[:, s * dsub : (s + 1) * dsub], ks)
+            for s in range(m)
+        ]
+    )
+
+
+def _encode(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Codes (n, m) int32: per-subspace nearest-centroid assignment."""
+    m, _, dsub = codebooks.shape
+    return np.stack(
+        [
+            assign_euclidean(X[:, s * dsub : (s + 1) * dsub], codebooks[s])
+            for s in range(m)
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+
+def _sample_rows(
+    embeddings: DataFrame, mod: int, min_rows: int, fallback_rows: int
+) -> np.ndarray:
+    """Deterministic, layout-independent fit sample (the
+    _sampled_quantizer rule: ids at multiples of ``mod``, first-N-by-id
+    fallback when the id distribution starves the modulo sample)."""
+    pdf = (
+        embeddings.where(F.pmod("vec_id", F.lit(mod)) == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    if len(pdf) < min_rows:
+        pdf = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(fallback_rows)
+            .toPandas()
+        )
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+
+
+def pq_encode(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    fit_mod: int = 4,
+    fit_sample_rows: int = 500,
+) -> DataFrame:
+    """Build the PQ code index: (vec_id, codes array<int>) — the
+    materialized, 32x-smaller stand-in for the raw embedding column.
+    Map-only after the bounded sample fit."""
+    sample = _sample_rows(embeddings, fit_mod, ks, fit_sample_rows)
+    codebooks = pq_fit(sample, m, ks)
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            codes = _encode(X, cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        run, schema="vec_id long, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    fit_mod: int = 4,
+    fit_sample_rows: int = 500,
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes, queries drawn from the
+    corpus by id.
+
+    Returns (query_id, vec_id, rank, adc_dist) — adc_dist is the ADC
+    squared-L2 as DOUBLE (it stays float through the plan so the global
+    window sorts on exactly what the partial top-k selected on; on the
+    integer gate fixture every value is an exact integer — see module
+    determinism note — and the gate casts to bigint).  Ties
+    break by vec_id asc, pinned by the window sort.  Per-partition
+    output is bounded at |Q| * k rows; the encode and the scan are one
+    fused map pass (the code index never materializes — callers that
+    reuse an index should pq_encode once and join instead).
+    """
+    sample = _sample_rows(embeddings, fit_mod, ks, fit_sample_rows)
+    codebooks = pq_fit(sample, m, ks)
+
+    qpdf = (
+        embeddings.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )  # bounded: O(|query_ids|) driver rows
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
+    qids = qpdf["vec_id"].to_numpy(np.int64)
+    mm, _, dsub = codebooks.shape
+    # LUT[q, s, j] = ||Q[q, s-th slice] - codebook[s, j]||^2
+    lut = np.stack(
+        [
+            (
+                (Q[:, None, s * dsub : (s + 1) * dsub] - codebooks[s][None, :, :])
+                ** 2
+            ).sum(axis=2)
+            for s in range(mm)
+        ],
+        axis=1,
+    )
+    bc = spark.sparkContext.broadcast((codebooks, lut, qids))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb, lut_, qids_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            codes = _encode(X, cb)  # (n, m)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            # dist[q, n] = sum over s of LUT[q, s, codes[n, s]]
+            dist = lut_[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+            out = []
+            for qi in range(len(qids_)):
+                d = dist[qi]
+                take = min(k, len(d))
+                # partial top-k with the (dist, vec_id) tie rule
+                order = np.lexsort((vec_ids, d))[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_[qi],
+                            "vec_id": vec_ids[order],
+                            "adc_dist": d[order],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = embeddings.select("vec_id", "embedding").mapInPandas(
+        scan, schema="query_id long, vec_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("int"), "adc_dist")
+    )
+
+
+# ------------------------------------------------------- sequential twins
+def _sequential_fit(
+    vec_ids: np.ndarray,
+    vectors: np.ndarray,
+    m: int,
+    ks: int,
+    fit_mod: int,
+    fit_sample_rows: int,
+) -> np.ndarray:
+    order = np.argsort(vec_ids)
+    ids_sorted, X_sorted = vec_ids[order], vectors[order]
+    sel = ids_sorted % fit_mod == 0
+    sample = X_sorted[sel] if sel.sum() >= ks else X_sorted[:fit_sample_rows]
+    return pq_fit(sample.astype(np.float64), m, ks)
+
+
+def sequential_pq_encode(
+    vec_ids: np.ndarray,
+    vectors: np.ndarray,
+    m: int = 8,
+    ks: int = 16,
+    fit_mod: int = 4,
+    fit_sample_rows: int = 500,
+) -> list[tuple[int, str]]:
+    """(vec_id, 'c0|c1|...') rows — the VALUES twin of pq_encode."""
+    cb = _sequential_fit(vec_ids, vectors, m, ks, fit_mod, fit_sample_rows)
+    codes = _encode(vectors.astype(np.float64), cb)
+    return [
+        (int(v), "|".join(str(c) for c in row))
+        for v, row in zip(vec_ids, codes)
+    ]
+
+
+def sequential_pq_topk(
+    vec_ids: np.ndarray,
+    vectors: np.ndarray,
+    query_ids: Sequence[int],
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    fit_mod: int = 4,
+    fit_sample_rows: int = 500,
+) -> list[tuple[int, int, int, int]]:
+    """(query_id, vec_id, rank, adc_dist) rows — the VALUES twin of
+    pq_adc_topk (same codebooks, same LUT arithmetic, same tie rule)."""
+    cb = _sequential_fit(vec_ids, vectors, m, ks, fit_mod, fit_sample_rows)
+    X = vectors.astype(np.float64)
+    codes = _encode(X, cb)
+    mm, _, dsub = cb.shape
+    id_to_row = {int(v): i for i, v in enumerate(vec_ids)}
+    out = []
+    for q in sorted(int(x) for x in query_ids):
+        qv = X[id_to_row[q]]
+        lut = np.stack(
+            [
+                ((qv[s * dsub : (s + 1) * dsub] - cb[s]) ** 2).sum(axis=1)
+                for s in range(mm)
+            ]
+        )
+        dist = lut[np.arange(mm)[None, :], codes].sum(axis=1)
+        order = np.lexsort((vec_ids, dist))[:k]
+        for r, i in enumerate(order, start=1):
+            out.append((q, int(vec_ids[i]), r, int(dist[i])))
+    return out

@@ -1,0 +1,92 @@
+"""Product quantization: distributed encode/search vs the sequential
+twins (layout-equality under repartitioning), reconstruction sanity, and
+the compression claim (codes are m small ints per vector)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.fixtures.gatefiles import (
+    ivf_embedding_rows,
+)
+from omop_concept_automapper_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+    sequential_pq_encode,
+    sequential_pq_topk,
+    _encode,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    vec_ids, vectors = ivf_embedding_rows()
+    rows = [(int(v), [float(x) for x in vec]) for v, vec in zip(vec_ids, vectors)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_codes_match_sequential_twin_under_repartition(spark, fixture_df):
+    vec_ids, vectors = ivf_embedding_rows()
+    want = dict(sequential_pq_encode(vec_ids, vectors, m=8, ks=16))
+    for df in (fixture_df, fixture_df.repartition(13, "vec_id")):
+        got = {
+            r["vec_id"]: "|".join(str(c) for c in r["codes"])
+            for r in pq_encode(spark, df, m=8, ks=16).collect()
+        }
+        assert got == want
+
+
+def test_topk_matches_sequential_twin_under_repartition(spark, fixture_df):
+    vec_ids, vectors = ivf_embedding_rows()
+    want = sequential_pq_topk(vec_ids, vectors, [0, 3, 7], k=5, m=8, ks=16)
+    for df in (fixture_df, fixture_df.repartition(7)):
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["rank"], int(r["adc_dist"]))
+            for r in pq_adc_topk(spark, df, [0, 3, 7], k=5, m=8, ks=16).collect()
+        )
+        assert got == sorted(want)
+
+
+def test_self_is_nearest_and_adc_reconstructs(spark):
+    # ADC distance of a vector to itself equals its quantization error:
+    # small relative to distances to other clusters, so rank-1 is self
+    vec_ids, vectors = ivf_embedding_rows()
+    rows = sequential_pq_topk(vec_ids, vectors, [0, 5], k=3, m=8, ks=16)
+    by_q = {}
+    for q, v, r, d in rows:
+        by_q.setdefault(q, []).append((r, v, d))
+    for q, hits in by_q.items():
+        hits.sort()
+        assert hits[0][1] == q  # rank 1 = the query itself
+        assert hits[0][2] < hits[-1][2]
+
+
+def test_adc_exact_on_integer_data():
+    # integer data + integer-snapped codebooks: the ADC sum is an exact
+    # float64 integer, the precondition for the VALUES oracle
+    vec_ids, vectors = ivf_embedding_rows(n=300)
+    cb = pq_fit(vectors[:100].astype(np.float64), m=8, ks=8)
+    assert np.array_equal(cb, np.round(cb))
+    codes = _encode(vectors.astype(np.float64), cb)
+    assert codes.shape == (300, 8)
+    assert codes.dtype == np.int32
+    assert codes.min() >= 0 and codes.max() < 8
+
+
+def test_dim_must_divide_into_subspaces():
+    _, vectors = ivf_embedding_rows(n=50, dim=30)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(vectors.astype(np.float64), m=8, ks=4)
+
+
+def test_encode_is_map_only(spark, fixture_df):
+    plan = (
+        pq_encode(spark, fixture_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
