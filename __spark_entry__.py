@@ -617,6 +617,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("adc_dist").cast("long").alias("adc_dist"),
         )
 
+    def ann_ivfpq_topk(spark, sf):
+        # NEW r6: the COMPOSED billion-scale index — IVF coarse lists
+        # prune the scan to n_probe/n_centroids of the corpus, PQ codes of
+        # the RESIDUAL compress what remains 32x (operators/pq.py
+        # ivfpq_topk).  Residuals of integer data against integer-snapped
+        # centroids stay integers, so the whole approximate result set is
+        # VALUES-pinnable via the sequential twin.
+        from omop_concept_automapper_spark.fixtures.gatefiles import (
+            write_gate_fixtures,
+        )
+        from omop_concept_automapper_spark.operators.pq import ivfpq_topk
+
+        p = write_gate_fixtures()
+        emb = spark.read.parquet(p["ivf_embeddings"])
+        out = ivfpq_topk(
+            spark, emb, list(range(8)), k=5, n_centroids=16, n_probe=4,
+            m=8, ks=16,
+        )
+        return out.select(
+            "query_id",
+            "vec_id",
+            "rank",
+            F.col("adc_dist").cast("long").alias("adc_dist"),
+        )
+
     # ------------------------------------------------- text analysis
     def text_quality_metrics(spark, sf):
         d = _t(spark, sf, "documents")
@@ -1297,13 +1322,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 entries.  r6 rotation (r5 verdict ask #5): fourteen
     # gates whose last driver row dates from r2/r3 (p2, p6, j7, u1, a2, a3,
     # a6, o2, o3, w2-w4, f_scalar_pack, f_levenshtein) move INTO the window,
-    # plus the seven NEW r6 gates (graph_degrees/pagerank/triangles,
-    # decontam_overlaps, text_repetition_metrics, ann_pq_codes/topk);
-    # twenty-one multi-round-stable r5-green gates (kg_mention_freqs,
-    # kg_mention_freqs_token_path — token_20k stays in as the strictest of
-    # the trio — st5, s1 x2, s2, j5, s3/s6/s7/s8, p1/p3/p5, a5,
-    # j4_checkpoint, j8, o1, dedup_embedding_cosine, dedup_ngram_jaccard,
-    # ann_ivf_recall) rotate out.
+    # plus the eight NEW r6 gates (graph_degrees/pagerank/triangles,
+    # decontam_overlaps, text_repetition_metrics, ann_pq_codes/topk,
+    # ann_ivfpq_topk); twenty-two multi-round-stable r5-green gates
+    # (kg_mention_freqs, kg_mention_freqs_token_path — token_20k stays in
+    # as the strictest of the trio — cc_components, st5, s1 x2, s2, j5,
+    # s3/s6/s7/s8, p1/p3/p5, a5, j4_checkpoint, j8, o1,
+    # dedup_embedding_cosine, dedup_ngram_jaccard, ann_ivf_recall)
+    # rotate out.
     # Gates whose code moved THIS round stay in:
     # pack_chunks (scalar re-render — the one red r5 row), the runner gates
     # (st1/kg_pipeline_edges — graph-stamp fast path), corpus_assembly
@@ -1326,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_metrics": text_repetition_metrics,
         "ann_pq_codes": ann_pq_codes,
         "ann_pq_topk": ann_pq_topk,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1844,6 +1871,32 @@ def _pq_topk_sql() -> str:
 
     vec_ids, vectors = ivf_embedding_rows()
     rows = sequential_pq_topk(vec_ids, vectors, list(range(8)), k=5, m=8, ks=16)
+    vals = ", ".join(f"({q}, {v}, {r}, {d})" for q, v, r, d in rows)
+    return (
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+        f"CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(rank AS INTEGER) AS rank, "
+        f"CAST(adc_dist AS BIGINT) AS adc_dist "
+        f"FROM (VALUES {vals}) AS t(query_id, vec_id, rank, adc_dist)"
+    )
+
+
+def _ivfpq_topk_sql() -> str:
+    """Golden IVFPQ top-k from the sequential twin (operators/pq.py
+    sequential_ivfpq_topk) — coarse probe + residual-PQ ADC, exact on the
+    integer fixture."""
+    from omop_concept_automapper_spark.fixtures.gatefiles import (
+        ivf_embedding_rows,
+    )
+    from omop_concept_automapper_spark.operators.pq import (
+        sequential_ivfpq_topk,
+    )
+
+    vec_ids, vectors = ivf_embedding_rows()
+    rows = sequential_ivfpq_topk(
+        vec_ids, vectors, list(range(8)), k=5, n_centroids=16, n_probe=4,
+        m=8, ks=16,
+    )
     vals = ", ".join(f"({q}, {v}, {r}, {d})" for q, v, r, d in rows)
     return (
         f"SELECT CAST(query_id AS BIGINT) AS query_id, "
@@ -2479,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
         "ann_pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _pq_topk_sql(),
+        "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "graph_triangles": f"""
             -- ordered enumeration a < b < c: each triangle exactly once,
             -- then each corner credited (the Spark side enumerates via

@@ -54,6 +54,7 @@ HEADLINE = [
     "decontam_overlaps",
     "text_repetition_metrics",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -225,6 +225,130 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    fit_mod: int = 4,
+    fit_sample_rows: int = 500,
+) -> DataFrame:
+    """IVF + PQ-on-residuals — the composed billion-scale index (FAISS
+    IVFPQ): a coarse quantizer prunes the scan to ``n_probe`` inverted
+    lists, and within each list vectors are PQ codes of the RESIDUAL
+    (vector − coarse centroid), which quantizes a much tighter
+    distribution than the raw space and so loses far less precision for
+    the same 8 bytes/vector.
+
+    Scale shape: coarse fit + PQ fit are driver numpy on the one bounded
+    sample; assignment + residual encoding is one map-only pass; the
+    probe is a broadcast (query → probed lists + per-list residual LUTs,
+    |Q| * n_probe * m * ks doubles — kilobytes) applied during the scan,
+    so a row whose list no query probes costs one dict lookup and no
+    arithmetic.  Combined with ``similarity.ivf_build_index``-style
+    list-partitioned storage, the probe becomes partition pruning and a
+    query physically reads n_probe/n_centroids of the code table — which
+    is itself 32x smaller than the raw floats.  Per-partition output is
+    bounded at |Q| * k rows; one window finishes.
+
+    Determinism: coarse centroids and PQ codebooks are integer-snapped,
+    so on integer data residuals and every ADC sum are exact float64
+    integers — VALUES-pinnable via :func:`sequential_ivfpq_topk`.
+    Returns (query_id, vec_id, rank, adc_dist double).
+    """
+    from omop_concept_automapper_spark.operators.similarity import (
+        _probe_lists,
+        _sampled_quantizer,
+    )
+
+    coarse, assigned = _sampled_quantizer(
+        spark, embeddings, fit_mod, n_centroids, 42, fit_sample_rows
+    )
+    sample = _sample_rows(embeddings, fit_mod, ks, fit_sample_rows)
+    sample_res = sample - coarse[assign_euclidean(sample, coarse)]
+    codebooks = pq_fit(sample_res, m, ks)
+
+    qpdf = (
+        embeddings.where(F.col("vec_id").isin([int(q) for q in query_ids]))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
+    qids = qpdf["vec_id"].to_numpy(np.int64)
+    mm, _, dsub = codebooks.shape
+    # per (query, probed list): LUT over the query's RESIDUAL in that list
+    probe_luts: dict[int, dict[int, np.ndarray]] = {}
+    for qi, qid in enumerate(qids):
+        luts: dict[int, np.ndarray] = {}
+        for c in _probe_lists(Q[qi], coarse, n_probe):
+            rq = Q[qi] - coarse[c]
+            luts[int(c)] = np.stack(
+                [
+                    ((rq[s * dsub : (s + 1) * dsub] - codebooks[s]) ** 2).sum(
+                        axis=1
+                    )
+                    for s in range(mm)
+                ]
+            )
+        probe_luts[int(qid)] = luts
+    bc = spark.sparkContext.broadcast((coarse, codebooks, probe_luts))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        coarse_, cb, pl = bc.value
+        s_idx = np.arange(cb.shape[0])[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            clusters = pdf["cluster"].to_numpy(np.int64)
+            codes = _encode(X - coarse_[clusters], cb)
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            out = []
+            for qid, luts in pl.items():
+                mask = np.isin(clusters, list(luts))
+                if not mask.any():
+                    continue
+                sub_codes, sub_ids = codes[mask], vec_ids[mask]
+                sub_cl = clusters[mask]
+                d = np.empty(len(sub_ids))
+                for c, lut in luts.items():
+                    cm = sub_cl == c
+                    if cm.any():
+                        d[cm] = lut[s_idx, sub_codes[cm]].sum(axis=1)
+                take = min(k, len(d))
+                order = np.lexsort((sub_ids, d))[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": sub_ids[order],
+                            "adc_dist": d[order],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = assigned.select("vec_id", "cluster", "embedding").mapInPandas(
+        scan, schema="query_id long, vec_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("int"), "adc_dist")
+    )
+
+
 # ------------------------------------------------------- sequential twins
 def _sequential_fit(
     vec_ids: np.ndarray,
@@ -256,6 +380,70 @@ def sequential_pq_encode(
         (int(v), "|".join(str(c) for c in row))
         for v, row in zip(vec_ids, codes)
     ]
+
+
+def sequential_ivfpq_topk(
+    vec_ids: np.ndarray,
+    vectors: np.ndarray,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    fit_mod: int = 4,
+    fit_sample_rows: int = 500,
+) -> list[tuple[int, int, int, int]]:
+    """(query_id, vec_id, rank, adc_dist) — the VALUES twin of
+    :func:`ivfpq_topk`: same coarse fit (min-threshold n_centroids, the
+    _sampled_quantizer rule), same residual-PQ fit (min-threshold ks),
+    same probe lists, LUT arithmetic, and (dist, vec_id) tie rule."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        _probe_lists,
+    )
+
+    order = np.argsort(vec_ids)
+    ids_sorted, X_sorted = vec_ids[order], vectors[order].astype(np.float64)
+    sel = ids_sorted % fit_mod == 0
+
+    def _sample(min_rows: int) -> np.ndarray:
+        return X_sorted[sel] if sel.sum() >= min_rows else X_sorted[:fit_sample_rows]
+
+    coarse = integer_kmeans(_sample(n_centroids), n_centroids)
+    X = vectors.astype(np.float64)
+    clusters = assign_euclidean(X, coarse)
+    pq_sample = _sample(ks)
+    codebooks = pq_fit(
+        pq_sample - coarse[assign_euclidean(pq_sample, coarse)], m, ks
+    )
+    codes = _encode(X - coarse[clusters], codebooks)
+    mm, _, dsub = codebooks.shape
+    id_to_row = {int(v): i for i, v in enumerate(vec_ids)}
+    out = []
+    for q in sorted(int(x) for x in query_ids):
+        qv = X[id_to_row[q]]
+        probes = _probe_lists(qv, coarse, n_probe)
+        mask = np.isin(clusters, probes)
+        sub_ids, sub_codes, sub_cl = vec_ids[mask], codes[mask], clusters[mask]
+        d = np.empty(len(sub_ids))
+        for c in probes:
+            cm = sub_cl == c
+            if not cm.any():
+                continue
+            rq = qv - coarse[c]
+            lut = np.stack(
+                [
+                    ((rq[s * dsub : (s + 1) * dsub] - codebooks[s]) ** 2).sum(
+                        axis=1
+                    )
+                    for s in range(mm)
+                ]
+            )
+            d[cm] = lut[np.arange(mm)[None, :], sub_codes[cm]].sum(axis=1)
+        sel_k = np.lexsort((sub_ids, d))[:k]
+        for r, i in enumerate(sel_k, start=1):
+            out.append((q, int(sub_ids[i]), r, int(d[i])))
+    return out
 
 
 def sequential_pq_topk(

@@ -12,9 +12,11 @@ from omop_concept_automapper_spark.fixtures.gatefiles import (
     ivf_embedding_rows,
 )
 from omop_concept_automapper_spark.operators.pq import (
+    ivfpq_topk,
     pq_adc_topk,
     pq_encode,
     pq_fit,
+    sequential_ivfpq_topk,
     sequential_pq_encode,
     sequential_pq_topk,
     _encode,
@@ -48,6 +50,39 @@ def test_topk_matches_sequential_twin_under_repartition(spark, fixture_df):
             for r in pq_adc_topk(spark, df, [0, 3, 7], k=5, m=8, ks=16).collect()
         )
         assert got == sorted(want)
+
+
+def test_ivfpq_matches_sequential_twin_under_repartition(spark, fixture_df):
+    vec_ids, vectors = ivf_embedding_rows()
+    want = sequential_ivfpq_topk(
+        vec_ids, vectors, [0, 5, 11], k=5, n_centroids=16, n_probe=4
+    )
+    for df in (fixture_df, fixture_df.repartition(9)):
+        got = sorted(
+            (r["query_id"], r["vec_id"], r["rank"], int(r["adc_dist"]))
+            for r in ivfpq_topk(
+                spark, df, [0, 5, 11], k=5, n_centroids=16, n_probe=4
+            ).collect()
+        )
+        assert got == sorted(want)
+
+
+def test_ivfpq_full_k_and_self_recall(spark):
+    # every query gets exactly k ranked hits from its probed lists, and
+    # the query itself survives quantization into its own top-k.  (A
+    # stronger "residual beats flat PQ" claim is deliberately NOT
+    # asserted: on this fixture the flat space's 16 well-separated
+    # centers quantize better than the near-uniform residuals — which
+    # way the tradeoff goes is data-dependent.)
+    vec_ids, vectors = ivf_embedding_rows()
+    rows = sequential_ivfpq_topk(vec_ids, vectors, list(range(8)), k=5)
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for q, v, r, d in rows:
+        by_q.setdefault(q, []).append((r, v))
+    assert set(by_q) == set(range(8))
+    for q, hits in by_q.items():
+        assert sorted(r for r, _ in hits) == [1, 2, 3, 4, 5]
+        assert q in {v for _, v in hits}
 
 
 def test_self_is_nearest_and_adc_reconstructs(spark):
