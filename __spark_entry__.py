@@ -850,6 +850,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("confidence").cast("long").alias("confidence"),
         )
 
+    def kg_concept_comention(spark, sf):
+        # NEW r6: concept co-mention graph — concepts whose accepted-
+        # linked mentions occur in the same conversation (plans/graph.py
+        # concept_comention_pairs: broadcast accepted-links join + conv-
+        # keyed co-occurrence projection), golden-checked against the
+        # sequential reference oracle's per-conversation detection +
+        # accepted mapping.
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.fixtures.vocabulary import (
+            build_lexicon,
+        )
+        from omop_concept_automapper_spark.plans.graph import (
+            accepted_mappings,
+            concept_comention_pairs,
+        )
+        from omop_concept_automapper_spark.plans.mentions import (
+            extract_mention_occurrences,
+        )
+
+        t = transcripts_dataframe(spark, n_conversations=40)
+        occ = extract_mention_occurrences(
+            t, [e["mention_text"] for e in build_lexicon()]
+        )
+        return concept_comention_pairs(
+            occ, accepted_mappings(_kg_links(spark), threshold=8)
+        )
+
     # ------------------------------- vocab / import / links fixture gates
     # (S1, J5+J6+A4, P5, J4, S2 — reference operators whose natural inputs
     # are the vocabulary/import fixtures, materialized identically for both
@@ -1322,12 +1351,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 entries.  r6 rotation (r5 verdict ask #5): fourteen
     # gates whose last driver row dates from r2/r3 (p2, p6, j7, u1, a2, a3,
     # a6, o2, o3, w2-w4, f_scalar_pack, f_levenshtein) move INTO the window,
-    # plus the eight NEW r6 gates (graph_degrees/pagerank/triangles,
+    # plus the nine NEW r6 gates (graph_degrees/pagerank/triangles,
     # decontam_overlaps, text_repetition_metrics, ann_pq_codes/topk,
-    # ann_ivfpq_topk); twenty-two multi-round-stable r5-green gates
-    # (kg_mention_freqs, kg_mention_freqs_token_path — token_20k stays in
-    # as the strictest of the trio — cc_components, st5, s1 x2, s2, j5,
-    # s3/s6/s7/s8, p1/p3/p5, a5, j4_checkpoint, j8, o1,
+    # ann_ivfpq_topk, kg_concept_comention); twenty-three multi-round-
+    # stable r5-green gates (kg_mention_freqs, kg_mention_freqs_token_path
+    # — token_20k stays in as the strictest of the trio — cc_components,
+    # ann_knn_join_qsliced — shuffled stays in for the family — st5,
+    # s1 x2, s2, j5, s3/s6/s7/s8, p1/p3/p5, a5, j4_checkpoint, j8, o1,
     # dedup_embedding_cosine, dedup_ngram_jaccard, ann_ivf_recall)
     # rotate out.
     # Gates whose code moved THIS round stay in:
@@ -1343,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rejections": kg_rejections,
         "st1_runner_resume_edges": st1_runner_resume_edges,
         "kg_pipeline_edges": kg_pipeline_edges,
+        "kg_concept_comention": kg_concept_comention,
         "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
         # --- NEW r6: graph analytics / decontamination / repetition ---
         "graph_degrees": graph_degrees,
@@ -1378,7 +1409,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "ann_knn_join": ann_knn_join,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
-        "ann_knn_join_qsliced": ann_knn_join_qsliced,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_approx": ann_ivf_approx,
         "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1399,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j10_asof_join": j10_asof_join,
         "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
         # ---------------- position >50: long-stable, mirror-covered ----
+        "ann_knn_join_qsliced": ann_knn_join_qsliced,
         "kg_mention_freqs": kg_mention_freqs,
         "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
         "st5_reset_rebuild": st5_reset_rebuild,
@@ -1878,6 +1909,58 @@ def _pq_topk_sql() -> str:
         f"CAST(rank AS INTEGER) AS rank, "
         f"CAST(adc_dist AS BIGINT) AS adc_dist "
         f"FROM (VALUES {vals}) AS t(query_id, vec_id, rank, adc_dist)"
+    )
+
+
+def _kg_comention_sql(n_conversations: int = 40) -> str:
+    """Golden concept co-mention pairs: the sequential reference detects
+    mentions per conversation (same kernel as the pipeline UDF), maps
+    accepted mentions to concepts via the reference-algorithm oracle run,
+    and projects per-conversation concept sets into ordered pairs."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        generate_transcript_rows,
+    )
+    from omop_concept_automapper_spark.fixtures.vocabulary import (
+        build_lexicon,
+    )
+    from omop_concept_automapper_spark.functions.mentions import (
+        compile_lexicon,
+        detect_mentions_py,
+    )
+    from omop_concept_automapper_spark.plans.oracle import (
+        oracle_link_default,
+    )
+
+    golden = oracle_link_default(n_conversations=n_conversations)
+    mapping = {
+        r["mention_text"]: int(r["concept_id"])
+        for r in golden["results"]
+        if r.get("status") == "accepted"
+    }
+    pattern, canon = compile_lexicon(
+        [e["mention_text"] for e in build_lexicon()]
+    )
+    per_conv: dict[str, set[int]] = {}
+    for (cid, _ti, _role, text, _tool, _ts) in generate_transcript_rows(
+        n_conversations, 42
+    ):
+        for m in detect_mentions_py(text, pattern, canon):
+            if m in mapping:
+                per_conv.setdefault(cid, set()).add(mapping[m])
+    pairs = sorted(
+        {
+            (a, b)
+            for concepts in per_conv.values()
+            for a in concepts
+            for b in concepts
+            if a < b
+        }
+    )
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    return (
+        f"SELECT CAST(concept_id_1 AS BIGINT) AS concept_id_1, "
+        f"CAST(concept_id_2 AS BIGINT) AS concept_id_2 "
+        f"FROM (VALUES {vals}) AS t(concept_id_1, concept_id_2)"
     )
 
 
@@ -2533,6 +2616,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
+        "kg_concept_comention": _kg_comention_sql(n_conversations=40),
         "graph_triangles": f"""
             -- ordered enumeration a < b < c: each triangle exactly once,
             -- then each corner credited (the Spark side enumerates via

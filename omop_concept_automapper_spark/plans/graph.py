@@ -62,6 +62,45 @@ def accepted_mappings(link_results: DataFrame, threshold: int = 8) -> DataFrame:
     )
 
 
+def concept_comention_pairs(
+    occurrences: DataFrame,
+    accepted: DataFrame,
+    group_col: str = "conv_id",
+) -> DataFrame:
+    """Concept–concept co-mention edges: two OMOP concepts are connected
+    when accepted-linked mentions of both occur in the same conversation
+    — the KG enrichment layer on top of the maps-to edges (an analog of
+    the reference UI's related-concept browsing, which walks
+    ``concept_relationship`` rows; here the relation is MINED from the
+    transcripts instead).  Output: (concept_id_1 < concept_id_2),
+    distinct — directly consumable by operators/graph_analytics.py
+    (degrees, PageRank, triangles) and connected_components.
+
+    Scale shape: ``accepted`` is O(distinct mentions) — vocab-bounded,
+    the same argument as the pipeline's broadcast mention table — so the
+    occurrence join is a broadcast hash join with no shuffle of the
+    turn-scale side; the projection then shuffles once on the
+    conversation key (bounded per-conv fan-out: C(concepts-per-conv, 2)).
+    """
+    linked = occurrences.join(
+        F.broadcast(
+            accepted.select("mention_text", "concept_id").distinct()
+        ),
+        "mention_text",
+    )
+    from omop_concept_automapper_spark.operators.graph_analytics import (
+        cooccurrence_pairs,
+    )
+
+    pairs = cooccurrence_pairs(
+        linked.select(group_col, "concept_id"), group_col, "concept_id"
+    )
+    return pairs.select(
+        F.col("doc_id_1").cast("long").alias("concept_id_1"),
+        F.col("doc_id_2").cast("long").alias("concept_id_2"),
+    )
+
+
 def _subj_col():
     """Rendered 128-bit subject id (payload column, never a key)."""
     return F.concat(

@@ -136,6 +136,48 @@ def test_triangle_counts_match_reference(spark, seed):
     assert got_naive == got
 
 
+def test_concept_comention_feeds_analytics(spark):
+    # the KG enrichment layer: accepted links + per-conv occurrences ->
+    # concept pair graph, directly consumable by pagerank/degrees
+    from omop_concept_automapper_spark.plans.graph import (
+        concept_comention_pairs,
+    )
+
+    occ = spark.createDataFrame(
+        [
+            ("c1", 1, "aspirin"),
+            ("c1", 2, "headache"),
+            ("c1", 3, "nausea"),
+            ("c2", 1, "aspirin"),
+            ("c2", 2, "unlinked thing"),
+            ("c3", 1, "headache"),
+        ],
+        "conv_id string, turn_idx int, mention_text string",
+    )
+    accepted = spark.createDataFrame(
+        [
+            ("aspirin", 100, None, 9),
+            ("headache", 200, None, 10),
+            ("nausea", 300, None, 8),
+        ],
+        "mention_text string, concept_id int, error string, confidence int",
+    )
+    pairs = concept_comention_pairs(occ, accepted)
+    got = {
+        (r["concept_id_1"], r["concept_id_2"]) for r in pairs.collect()
+    }
+    # conv c1 links {100, 200, 300}; c2/c3 add no pairs
+    assert got == {(100, 200), (100, 300), (200, 300)}
+    ranks = pagerank(
+        pairs, src="concept_id_1", dst="concept_id_2", iterations=3
+    ).collect()
+    # K3 is symmetric: all ranks equal, summing to 1
+    vals = [r["rank"] for r in ranks]
+    assert len(vals) == 3
+    assert max(vals) == pytest.approx(min(vals), rel=1e-12)
+    assert sum(vals) == pytest.approx(1.0, rel=1e-9)
+
+
 def test_triangle_counts_k4(spark):
     # K4: every vertex sits in C(3,2) = 3 triangles
     pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
