@@ -134,6 +134,7 @@ def main() -> None:
     finally:
         shutil.rmtree(work_ivf, ignore_errors=True)
     timings["ann_ivf_payoff_query"] = ivf["sec_ivf_query"]
+    timings["ann_pq_payoff_query"] = ivf["sec_pq_query"]
 
     # CC at scale: 10^6 edges including a 200k-degree hub (SCALE.md claim:
     # hubs contract in one round, rounds stay O(log n))
@@ -208,6 +209,12 @@ def main() -> None:
         "ivf_payoff_speedup": ivf["speedup_query"],
         "ivf_payoff_recall_at_k": ivf["recall_at_k"],
         "ivf_payoff_scan_fraction": ivf["scan_fraction"],
+        "pq_payoff_sec_build": ivf["sec_pq_build"],
+        "pq_payoff_recall_probed_l2": ivf["pq_recall_probed_l2"],
+        "pq_payoff_rerank_recall": ivf["pq_rerank_recall_probed_l2"],
+        "pq_payoff_compression": ivf["pq_compression"],
+        "pq_payoff_index_bytes": ivf["pq_index_bytes"],
+        "pq_payoff_raw_index_bytes": ivf["raw_index_bytes"],
     }
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()

@@ -435,6 +435,115 @@ def run_ivf_payoff_bench(
     )
 
     recall = len(brute & ivf) / max(len(brute), 1)
+
+    # ---- IVFPQ rider (r6): same corpus, same probe discipline, but the
+    # scanned table is PQ codes (m ints/row) instead of raw floats — the
+    # measured claims are (a) on-disk index compression, (b) query time
+    # over the pruned CODE scan, (c) recall vs exact L2 over the same
+    # probed lists (isolating quantization loss from probe loss, which
+    # recall_at_k above already characterizes).
+    from omop_concept_automapper_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search,
+        ivfpq_search_rerank,
+    )
+
+    # m=16/ks=256 -> 16 ints/vector: on this noise-blob corpus smaller
+    # codes rank near-randomly within a neighborhood (m=8/ks=16 measured
+    # recall@10 = 0.05); at these knobs the true top-k sits inside the
+    # ADC top-100, which is what the rerank stage consumes
+    pq_path = os.path.join(work_dir, "ivfpq_index")
+    t_pq_build, (coarse_pq, codebooks_pq) = timed(
+        lambda: ivfpq_build_index(
+            spark, emb, pq_path, n_centroids=n_centroids,
+            m=16, ks=256, pq_fit_rows=20_000,
+        )
+    )
+    probed_pq = sorted(
+        {
+            int(c)
+            for v in queries["vector"]
+            for c in _probe_lists(
+                np.asarray(v, dtype=np.float64), coarse_pq, n_probe
+            )
+        }
+    )
+    pq_index = spark.read.parquet(pq_path).where(
+        F.col("cluster").isin(probed_pq)
+    )
+    pq_hits = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in ivfpq_search(
+            spark, pq_index, coarse_pq, codebooks_pq, queries,
+            k=k, n_probe=n_probe,
+        ).collect()
+    }
+    t_pq = min(
+        timed(
+            lambda: ivfpq_search(
+                spark,
+                spark.read.parquet(pq_path).where(
+                    F.col("cluster").isin(probed_pq)
+                ),
+                coarse_pq,
+                codebooks_pq,
+                queries,
+                k=k,
+                n_probe=n_probe,
+            ).collect()
+        )[0]
+        for _ in range(reps)
+    )
+    # exact L2 over the same probed lists: bounded driver reference
+    # (scan_fraction * n_vectors rows — the pruned slice, not the corpus)
+    raw_rows = (
+        spark.read.parquet(index_path)
+        .where(F.col("cluster").isin(probed_pq))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rX = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in raw_rows]
+    )
+    rids = np.asarray([int(r["vec_id"]) for r in raw_rows], dtype=np.int64)
+    exact_l2 = set()
+    for qid, vec in zip(queries["query_id"], queries["vector"]):
+        qv = np.asarray(vec, dtype=np.float64)
+        d = ((rX - qv) ** 2).sum(axis=1)
+        keep = rids != int(qid)
+        order = np.lexsort((rids[keep], d[keep]))[:k]
+        exact_l2 |= {(int(qid), int(v)) for v in rids[keep][order]}
+    pq_recall = len(pq_hits & exact_l2) / max(len(exact_l2), 1)
+
+    # the serving path: ADC shortlist-100 over codes, exact JVM-side L2
+    # rerank of only those candidates against the pruned RAW slice
+    raw_slice = spark.read.parquet(index_path).where(
+        F.col("cluster").isin(probed_pq)
+    ).select("vec_id", "embedding")
+    rerank_df = ivfpq_search_rerank(
+        spark,
+        spark.read.parquet(pq_path).where(F.col("cluster").isin(probed_pq)),
+        coarse_pq,
+        codebooks_pq,
+        raw_slice,
+        queries,
+        k=k,
+        shortlist=100,
+        n_probe=n_probe,
+    )
+    rerank_hits = {
+        (int(r["query_id"]), int(r["vec_id"])) for r in rerank_df.collect()
+    }
+    pq_rerank_recall = len(rerank_hits & exact_l2) / max(len(exact_l2), 1)
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    pq_bytes, raw_bytes = _du(pq_path), _du(index_path)
     return {
         "n_vectors": n_vectors,
         "dim": dim,
@@ -448,4 +557,11 @@ def run_ivf_payoff_bench(
         "speedup_query": round(t_brute / max(t_ivf, 1e-9), 2),
         "recall_at_k": round(recall, 4),
         "scan_fraction": round(rows_scanned / n_vectors, 4),
+        "sec_pq_build": round(t_pq_build, 3),
+        "sec_pq_query": round(t_pq, 3),
+        "pq_recall_probed_l2": round(pq_recall, 4),
+        "pq_rerank_recall_probed_l2": round(pq_rerank_recall, 4),
+        "pq_index_bytes": pq_bytes,
+        "raw_index_bytes": raw_bytes,
+        "pq_compression": round(raw_bytes / max(pq_bytes, 1), 2),
     }

@@ -85,6 +85,65 @@ def test_ivfpq_full_k_and_self_recall(spark):
         assert q in {v for _, v in hits}
 
 
+def test_ivfpq_built_index_search_matches_fused_path(spark, fixture_df, tmp_path):
+    # the materialized code table + ivfpq_search equals the fused
+    # ivfpq_topk (same sample rules -> same coarse/codebooks -> same ADC),
+    # modulo ivf_search-style self-exclusion
+    import pandas as pd
+
+    from omop_concept_automapper_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search,
+        ivfpq_search_rerank,
+    )
+
+    path = str(tmp_path / "pq_index")
+    coarse, cbs = ivfpq_build_index(
+        spark, fixture_df, path, n_centroids=16, m=8, ks=16,
+        fit_sample_rows=500,
+    )
+    qids = [0, 9]
+    qpdf = fixture_df.where(F.col("vec_id").isin(qids)).orderBy("vec_id").toPandas()
+    queries = pd.DataFrame(
+        {"query_id": qpdf["vec_id"], "vector": list(qpdf["embedding"])}
+    )
+    index = spark.read.parquet(path)
+    got = sorted(
+        (r["query_id"], r["vec_id"], int(r["adc_dist"]))
+        for r in ivfpq_search(
+            spark, index, coarse, cbs, queries, k=5, n_probe=4
+        ).collect()
+    )
+    fused = ivfpq_topk(
+        spark, fixture_df, qids, k=6, n_centroids=16, n_probe=4
+    ).collect()
+    # fused asked k=6 including self; drop self, keep each query's best 5
+    # by the (adc_dist, vec_id) tie rule
+    per_q: dict[int, list] = {}
+    for r in fused:
+        if r["vec_id"] != r["query_id"]:
+            per_q.setdefault(r["query_id"], []).append(
+                (int(r["adc_dist"]), r["vec_id"])
+            )
+    want5 = sorted(
+        (q, v, d)
+        for q, rows in per_q.items()
+        for d, v in sorted(rows)[:5]
+    )
+    assert got == want5
+
+    # the rerank stage returns exact L2 over the shortlist, self excluded
+    rer = ivfpq_search_rerank(
+        spark, index, coarse, cbs,
+        fixture_df.select("vec_id", "embedding"), queries,
+        k=3, shortlist=20, n_probe=4,
+    ).collect()
+    assert {r["query_id"] for r in rer} == set(qids)
+    for r in rer:
+        assert r["vec_id"] != r["query_id"]
+        assert r["rank"] in (1, 2, 3)
+
+
 def test_self_is_nearest_and_adc_reconstructs(spark):
     # ADC distance of a vector to itself equals its quantization error:
     # small relative to distances to other clusters, so rank-1 is self
