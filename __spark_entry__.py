@@ -733,6 +733,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return assemble_corpus(_t(spark, sf, "documents"))
 
+    def sketch_kmv_distinct(spark, sf):
+        # NEW r6: deterministic KMV cardinality sketch — unlike HLL++ the
+        # estimate is a pure function of the data (min-k of md5 hashes),
+        # so the DuckDB oracle reproduces it bit-for-bit
+        # (operators/sketches.py).
+        from omop_concept_automapper_spark.operators.sketches import (
+            kmv_distinct,
+        )
+
+        li = _t(spark, sf, "lineitem")
+        return kmv_distinct(
+            li, "l_partkey", k=64, group_cols=["l_returnflag"]
+        )
+
     # --------------------------------------------------------- graph
     def cc_components(spark, sf):
         li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
@@ -1351,13 +1365,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only the first 50 entries.  r6 rotation (r5 verdict ask #5): fourteen
     # gates whose last driver row dates from r2/r3 (p2, p6, j7, u1, a2, a3,
     # a6, o2, o3, w2-w4, f_scalar_pack, f_levenshtein) move INTO the window,
-    # plus the nine NEW r6 gates (graph_degrees/pagerank/triangles,
+    # plus the ten NEW r6 gates (graph_degrees/pagerank/triangles,
     # decontam_overlaps, text_repetition_metrics, ann_pq_codes/topk,
-    # ann_ivfpq_topk, kg_concept_comention); twenty-three multi-round-
-    # stable r5-green gates (kg_mention_freqs, kg_mention_freqs_token_path
-    # — token_20k stays in as the strictest of the trio — cc_components,
-    # ann_knn_join_qsliced — shuffled stays in for the family — st5,
-    # s1 x2, s2, j5, s3/s6/s7/s8, p1/p3/p5, a5, j4_checkpoint, j8, o1,
+    # ann_ivfpq_topk, kg_concept_comention, sketch_kmv_distinct);
+    # twenty-four multi-round-stable r5-green gates (kg_mention_freqs,
+    # kg_mention_freqs_token_path — token_20k stays in as the strictest of
+    # the trio — cc_components, ann_knn_join_qsliced — shuffled stays in
+    # for the family — p4_metadata_filter_topk, st5, s1 x2, s2, j5,
+    # s3/s6/s7/s8, p1/p3/p5, a5, j4_checkpoint, j8, o1,
     # dedup_embedding_cosine, dedup_ngram_jaccard, ann_ivf_recall)
     # rotate out.
     # Gates whose code moved THIS round stay in:
@@ -1384,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": ann_pq_codes,
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
+        "sketch_kmv_distinct": sketch_kmv_distinct,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1406,7 +1422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters_gate,
         "ann_topk_vec0": ann_topk_vec0,
-        "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "ann_knn_join": ann_knn_join,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1430,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
         # ---------------- position >50: long-stable, mirror-covered ----
         "ann_knn_join_qsliced": ann_knn_join_qsliced,
+        "p4_metadata_filter_topk": p4_metadata_filter_topk,
         "kg_mention_freqs": kg_mention_freqs,
         "kg_mention_freqs_token_path": kg_mention_freqs_token_path,
         "st5_reset_rebuild": st5_reset_rebuild,
@@ -2617,6 +2633,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "kg_concept_comention": _kg_comention_sql(n_conversations=40),
+        "sketch_kmv_distinct": f"""
+            WITH h AS (SELECT DISTINCT l_returnflag,
+                         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS hv
+                       FROM lineitem),
+            r AS (SELECT l_returnflag, hv,
+                         row_number() OVER (PARTITION BY l_returnflag
+                                            ORDER BY hv) AS rn
+                  FROM h),
+            s AS (SELECT l_returnflag, count(*) AS n, max(hv) AS kth
+                  FROM r WHERE rn <= 64 GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   CASE WHEN n < 64 THEN n
+                        ELSE CAST(ROUND((63 * 1152921504606846976.0)::DOUBLE
+                                        / kth) AS BIGINT) END AS est_distinct,
+                   n < 64 AS is_exact
+            FROM s""",
         "graph_triangles": f"""
             -- ordered enumeration a < b < c: each triangle exactly once,
             -- then each corner credited (the Spark side enumerates via
