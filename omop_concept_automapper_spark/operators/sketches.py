@@ -31,7 +31,13 @@ _HASH_SPACE = float(1 << 60)
 
 def kmv_hash(col: Column | str) -> Column:
     """60-bit md5-derived hash, identical in Spark and DuckDB
-    (('0x' || substr(md5(v), 1, 15))::BIGINT)."""
+    (('0x' || substr(md5(v), 1, 15))::BIGINT).
+
+    The value is stringified before hashing; for string/integer columns
+    both engines render identically.  For float columns the engines'
+    double->string formats can differ — cast floats to a decimal or
+    string yourself before sketching if an oracle must reproduce it.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.conv(F.substring(F.md5(c.cast("string")), 1, _HASH_HEX_LEN), 16, 10)
