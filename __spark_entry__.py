@@ -747,6 +747,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li, "l_partkey", k=64, group_cols=["l_returnflag"]
         )
 
+    def freq_heavy_hitters(spark, sf):
+        # NEW r6: two-phase exact-verified heavy hitters — per-partition
+        # Misra-Gries candidate summaries (bounded counters, mergeable
+        # trim) then a broadcast semi-join exact count; the output is
+        # EXACT and partition-layout-independent, only the candidate set
+        # size depends on phase 1 (operators/freq.py)
+        from omop_concept_automapper_spark.operators.dedup import tokens_col
+        from omop_concept_automapper_spark.operators.freq import (
+            heavy_hitters,
+        )
+
+        toks = (
+            _t(spark, sf, "documents")
+            .select(F.explode(tokens_col("text")).alias("token"))
+        )
+        return heavy_hitters(
+            toks, "token", threshold_num=1, threshold_den=200
+        )
+
+    def sample_stratified(spark, sf):
+        # NEW r6: deterministic fixed-size per-stratum sample — the n
+        # smallest (md5-hash, key) per stratum; one keyed shuffle,
+        # bounded window state, no RNG (operators/freq.py)
+        from omop_concept_automapper_spark.operators.freq import (
+            stratified_sample,
+        )
+
+        o = _t(spark, sf, "orders")
+        return stratified_sample(
+            o, ["o_orderpriority"], "o_orderkey", n_per_stratum=5
+        ).select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+
+    def sample_hash_frac(spark, sf):
+        # NEW r6: deterministic ~3% Bernoulli sample keyed by order id
+        # (whole orders kept or dropped together) — map-only hash-mod
+        # predicate on the scan, zero shuffles (operators/freq.py)
+        from omop_concept_automapper_spark.operators.freq import (
+            sample_by_hash,
+        )
+
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+        return sample_by_hash(li, "l_orderkey", num=3, den=100)
+
     # --------------------------------------------------------- graph
     def cc_components(spark, sf):
         li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
@@ -805,6 +852,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         return triangle_counts(_coorder_pairs(spark, sf))
+
+    def graph_khop(spark, sf):
+        # NEW r6: bounded-depth BFS (min hop distance <= 3) from the
+        # smallest entity node — frontier-only expansion, visited
+        # anti-join, per-round localCheckpoint; the DuckDB twin is a
+        # recursive CTE (operators/graph_analytics.py k_hop)
+        from omop_concept_automapper_spark.operators.graph_analytics import (
+            k_hop,
+        )
+
+        pairs = _coorder_pairs(spark, sf)
+        sources = pairs.agg(F.min("doc_id_1").alias("node"))
+        return k_hop(pairs, sources, k=3)
 
     def decontam_overlaps(spark, sf):
         # NEW r6: benchmark decontamination — per-doc n-gram overlap vs a
@@ -1400,6 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_ivfpq_topk": ann_ivfpq_topk,
         "sketch_kmv_distinct": sketch_kmv_distinct,
+        "freq_heavy_hitters": freq_heavy_hitters,
+        "sample_stratified": sample_stratified,
+        "sample_hash_frac": sample_hash_frac,
+        "graph_khop": graph_khop,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1416,18 +1480,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_scalar_pack": f_scalar_pack,
         "f_levenshtein": f_levenshtein,
         # --- dedup / ANN / text / packing core ---
-        "dedup_exact": dedup_exact,
+        # (dedup_exact, dedup_simhash, ann_knn_join_shuffled,
+        # text_quality_metrics demoted below the window this round to make
+        # room for the new freq/sample/khop gates — all four were
+        # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_lsh_pairs": dedup_lsh_pairs,
-        "dedup_simhash": dedup_simhash,
         "dedup_clusters": dedup_clusters_gate,
         "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
-        "ann_knn_join_shuffled": ann_knn_join_shuffled,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_approx": ann_ivf_approx,
         "ann_lsh_bucketed": ann_lsh_bucketed,
-        "text_quality_metrics": text_quality_metrics,
         "text_lang_id": text_lang_id,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_bpeish_tokens": text_bpeish_tokens,
@@ -1436,6 +1500,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": chunk_manifest_gate,
         "pack_chunks": pack_chunks_gate,  # scalar re-render r6 — needs row
         "corpus_assembly": corpus_assembly_gate,
+        # --- demoted this round (driver-green r5, mirror-covered) ---
+        "dedup_exact": dedup_exact,
+        "dedup_simhash": dedup_simhash,
+        "ann_knn_join_shuffled": ann_knn_join_shuffled,
+        "text_quality_metrics": text_quality_metrics,
         "cc_components": cc_components,
         # --- representative relational slice ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -2649,6 +2718,40 @@ def oracle_sql() -> dict[str, str]:
                                         / kth) AS BIGINT) END AS est_distinct,
                    n < 64 AS is_exact
             FROM s""",
+        # phase-1 Misra-Gries only shrinks the verified candidate set; the
+        # OUTPUT is the plain exact HAVING — which is exactly the oracle
+        "freq_heavy_hitters": f"""
+            WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents
+                         WHERE text IS NOT NULL),
+            tot AS (SELECT count(*) AS total FROM tok WHERE token IS NOT NULL)
+            SELECT token, count(*) AS freq, tot.total AS total
+            FROM tok, tot WHERE token IS NOT NULL
+            GROUP BY token, tot.total
+            HAVING count(*) * 200 >= 1 * tot.total""",
+        "sample_stratified": """
+            SELECT o_orderpriority, o_orderkey, sample_rank FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT,
+                                o_orderkey) AS sample_rank
+              FROM orders)
+            WHERE sample_rank <= 5""",
+        "sample_hash_frac": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 3""",
+        "graph_khop": f"""
+            WITH RECURSIVE {_COORDER_PAIRS_SQL},
+            bidir AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM cpairs
+                      UNION ALL
+                      SELECT doc_id_2, doc_id_1 FROM cpairs),
+            walk(node, dist) AS (
+                SELECT (SELECT min(doc_id_1) FROM cpairs) AS node, 0 AS dist
+                UNION
+                SELECT b.dst, w.dist + 1
+                FROM walk w JOIN bidir b ON b.src = w.node
+                WHERE w.dist < 3)
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node""",
         "graph_triangles": f"""
             -- ordered enumeration a < b < c: each triangle exactly once,
             -- then each corner credited (the Spark side enumerates via

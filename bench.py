@@ -55,6 +55,9 @@ HEADLINE = [
     "text_repetition_metrics",
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "freq_heavy_hitters",
+    "sample_hash_frac",
+    "graph_khop",
 ]
 
 

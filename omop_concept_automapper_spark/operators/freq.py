@@ -1,0 +1,176 @@
+"""Frequency operators: exact-verified heavy hitters and deterministic
+sampling (training-data pipeline ops).
+
+Heavy hitters is the canonical "can't just groupBy at 100 TB" problem:
+when the value column has near-row cardinality (tokens, URLs, user ids),
+``groupBy(value).count()`` shuffles the whole column because map-side
+partial aggregation stops compressing.  The two-phase shape here is the
+standard fix:
+
+* Phase 1 (candidates): a Misra–Gries summary PER PARTITION with
+  ``capacity`` counters, merged batch-by-batch with the mergeable-summary
+  rule (add counts, subtract the (capacity+1)-th largest, drop <= 0 —
+  Agarwal et al., "Mergeability of Summaries", PODS 2012).  Guarantee:
+  any value with global frequency >= (num/den) * N survives in at least
+  one partition's summary (averaging argument + the MG undercount bound
+  n_i/(capacity+1) < (num/den) * n_i).  Only ``capacity`` values per
+  partition leave the executor.
+* Phase 2 (exact verify): the candidate union is tiny, so it broadcasts;
+  one semi-join + groupBy counts ONLY candidate rows exactly, and the
+  integer predicate ``freq * den >= num * total`` filters to the true
+  heavy hitters.  The final output is therefore EXACT and independent of
+  partition layout — phase 1 only controls how small the verified set is.
+
+The threshold is a rational ``num/den`` (never a float) so the predicate
+is pure 64-bit integer arithmetic and a SQL oracle reproduces it exactly.
+
+Deterministic sampling is the other 100 TB staple: reproducible samples
+with no RNG state.  ``sample_by_hash`` keeps rows with
+``md5-hash(key) % den < num`` — map-only, zero shuffles, the filter
+reaches the scan.  ``stratified_sample`` takes the ``n`` smallest hashes
+per stratum — one keyed shuffle, bounded window state, the exact
+distributed analogue of "ORDER BY hash LIMIT n" per group.  Both are pure
+functions of the data (same md5 discipline as operators/sketches.py), so
+DuckDB oracles reproduce them bit-for-bit.
+
+Reference provenance: the reference has no sampling/frequency surface;
+these extend the training-corpus family (operators/packing.py,
+operators/decontam.py) that a pretraining pipeline needs around the
+reference's linker.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from omop_concept_automapper_spark.operators.sketches import kmv_hash
+
+
+def _mg_trim(counters: dict, capacity: int) -> None:
+    """Misra–Gries merge step: subtract the (capacity+1)-th largest count
+    from every counter and drop the non-positive ones.  At most
+    ``capacity`` counters survive (only values strictly greater than the
+    subtracted pivot stay positive)."""
+    if len(counters) <= capacity:
+        return
+    pivot = sorted(counters.values(), reverse=True)[capacity]
+    for key in list(counters):
+        nv = counters[key] - pivot
+        if nv > 0:
+            counters[key] = nv
+        else:
+            del counters[key]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    group_cols: list[str] | None = None,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact frequencies of every value whose count is >= num/den of the
+    (group's) total row count.  NULL values (and NULL group keys) are
+    excluded up front — a NULL can't be a meaningful heavy hitter and
+    keeping the joins null-safe for it isn't worth the cost.
+
+    Output: group cols + value col + ``freq`` + ``total`` (both bigint).
+    Exact and partition-layout-independent (see module docstring); with
+    grouping, the MG guarantee holds per group because each partition
+    keeps an independent summary per group key it sees — intended for
+    bounded group cardinality (flags, languages, sources), not for
+    near-row-cardinality groups.
+    """
+    if threshold_num <= 0 or threshold_den <= 0:
+        raise ValueError("threshold must be a positive rational num/den")
+    groups = list(group_cols or [])
+    # capacity + 1 > den/num makes the per-partition undercount bound
+    # n_i/(capacity+1) strictly smaller than the threshold num/den * n_i
+    cap = capacity or -(-threshold_den // threshold_num)  # ceil
+    proj = df.select(*groups, value_col).na.drop(
+        subset=[*groups, value_col]
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summaries: dict[tuple, dict] = {}
+        cols = [*groups, value_col]
+        for pdf in batches:
+            # vectorized per-batch counting; python dict work is
+            # O(unique-per-batch + capacity), never O(rows)
+            vc = pdf.groupby(cols, sort=False, dropna=True).size()
+            for key, cnt in vc.items():
+                k = key if isinstance(key, tuple) else (key,)
+                g, v = k[:-1], k[-1]
+                counters = summaries.setdefault(g, {})
+                counters[v] = counters.get(v, 0) + int(cnt)
+                _mg_trim(counters, cap)
+        rows = [
+            (*g, v) for g, counters in summaries.items() for v in counters
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+    candidates = proj.mapInPandas(mg, schema=proj.schema).distinct()
+    counted = (
+        proj.join(F.broadcast(candidates), on=[*groups, value_col], how="left_semi")
+        .groupBy(*groups, value_col)
+        .agg(F.count("*").alias("freq"))
+    )
+    if groups:
+        totals = proj.groupBy(*groups).agg(F.count("*").alias("total"))
+        counted = counted.join(F.broadcast(totals), on=groups)
+    else:
+        totals = proj.agg(F.count("*").alias("total"))
+        counted = counted.crossJoin(F.broadcast(totals))
+    return counted.where(
+        F.col("freq") * F.lit(threshold_den)
+        >= F.lit(threshold_num) * F.col("total")
+    )
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, num: int, den: int
+) -> DataFrame:
+    """Deterministic ~num/den Bernoulli sample: keep rows whose 60-bit
+    md5 hash of ``key_col`` satisfies ``hash % den < num``.
+
+    Map-only — no shuffle, no RNG, no state; the predicate sits directly
+    on the scan, so at 100 TB this is the sampling path (a 1% sample
+    reads every block but moves nothing).  Sampling is by KEY: all rows
+    sharing a key are kept or dropped together (the property you want for
+    sampling conversations or documents without tearing them)."""
+    if not (0 < num <= den):
+        raise ValueError("need 0 < num <= den")
+    return df.where(kmv_hash(key_col) % F.lit(den) < F.lit(num))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the ``n`` rows with
+    the smallest (md5-hash, key) per stratum, with ``sample_rank``
+    attached (1-based).
+
+    One keyed shuffle on the strata; the window keeps at most ``n`` rows
+    of state per stratum (sort-based top-k).  Hash order is uniform, so
+    the sample is unbiased within each stratum; the key tie-break makes
+    the output a pure function of the data even under (astronomically
+    unlikely) 60-bit hash collisions."""
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        kmv_hash(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -246,3 +246,54 @@ def triangle_counts(
         .union(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def k_hop(
+    pairs: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+) -> DataFrame:
+    """Minimum hop distance from a source node set, bounded at ``k`` hops
+    (undirected; ``pairs`` is the deduplicated ``src < dst`` list every
+    pair operator here emits).  ``sources`` must have a ``node`` column.
+
+    Output: (node, dist int) for every node within k hops, dist = the
+    MINIMUM number of edges from any source (sources themselves at 0).
+
+    Scale shape: frontier BFS — each round joins ONLY the newly
+    discovered frontier against the edge list (never the accumulated
+    visited set), then anti-joins visited to keep the frontier minimal;
+    this is the delta-expansion trick that makes iterative graph jobs
+    O(edges touched) instead of O(visited x edges) per round.  Frontier
+    and visited are ``localCheckpoint``-ed each round so the plan stays
+    flat across iterations (same discipline as ``pagerank`` /
+    connected_components.py), and the loop exits early on an empty
+    frontier — the ``take(1)`` probe is one tiny job per round, bounded
+    by k.  The frontier-edge join key is the node id, so AQE's skew
+    handling covers hub nodes.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    edges = _bidir(pairs, src, dst)
+    visited = (
+        sources.select(F.col("node"), F.lit(0).alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -225,6 +225,37 @@ def pq_adc_topk(
     )
 
 
+def _subspace_lut(qv: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """LUT[s, j] = ||qv[s-th slice] - codebooks[s, j]||^2  — shape (m, ks)."""
+    mm, _, dsub = codebooks.shape
+    return np.stack(
+        [
+            ((qv[s * dsub : (s + 1) * dsub] - codebooks[s]) ** 2).sum(axis=1)
+            for s in range(mm)
+        ]
+    )
+
+
+def _residual_probe_luts(
+    qids, qvecs, coarse: np.ndarray, codebooks: np.ndarray, n_probe: int
+) -> dict[int, dict[int, np.ndarray]]:
+    """Per (query, probed list): ADC LUT over the query's RESIDUAL against
+    that list's coarse centroid — the broadcast payload of both the fused
+    and the prebuilt-index IVFPQ search paths."""
+    from omop_concept_automapper_spark.operators.similarity import (
+        _probe_lists,
+    )
+
+    out: dict[int, dict[int, np.ndarray]] = {}
+    for qid, vec in zip(qids, qvecs):
+        qv = np.asarray(vec, dtype=np.float64)
+        out[int(qid)] = {
+            int(c): _subspace_lut(qv - coarse[c], codebooks)
+            for c in _probe_lists(qv, coarse, n_probe)
+        }
+    return out
+
+
 def ivfpq_topk(
     spark: SparkSession,
     embeddings: DataFrame,
@@ -280,22 +311,7 @@ def ivfpq_topk(
     )
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf["embedding"]])
     qids = qpdf["vec_id"].to_numpy(np.int64)
-    mm, _, dsub = codebooks.shape
-    # per (query, probed list): LUT over the query's RESIDUAL in that list
-    probe_luts: dict[int, dict[int, np.ndarray]] = {}
-    for qi, qid in enumerate(qids):
-        luts: dict[int, np.ndarray] = {}
-        for c in _probe_lists(Q[qi], coarse, n_probe):
-            rq = Q[qi] - coarse[c]
-            luts[int(c)] = np.stack(
-                [
-                    ((rq[s * dsub : (s + 1) * dsub] - codebooks[s]) ** 2).sum(
-                        axis=1
-                    )
-                    for s in range(mm)
-                ]
-            )
-        probe_luts[int(qid)] = luts
+    probe_luts = _residual_probe_luts(qids, Q, coarse, codebooks, n_probe)
     bc = spark.sparkContext.broadcast((coarse, codebooks, probe_luts))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -428,26 +444,10 @@ def ivfpq_search(
     broadcasts the per-(query, list) residual LUTs and never touches a
     raw vector.  Excludes the query's own vec_id (ivf_search semantics).
     Returns (query_id, vec_id, rank, adc_dist double)."""
-    from omop_concept_automapper_spark.operators.similarity import (
-        _probe_lists,
+    mm = codebooks.shape[0]
+    probe_luts = _residual_probe_luts(
+        queries["query_id"], queries["vector"], coarse, codebooks, n_probe
     )
-
-    mm, _, dsub = codebooks.shape
-    probe_luts: dict[int, dict[int, np.ndarray]] = {}
-    for qid, vec in zip(queries["query_id"], queries["vector"]):
-        qv = np.asarray(vec, dtype=np.float64)
-        luts: dict[int, np.ndarray] = {}
-        for c in _probe_lists(qv, coarse, n_probe):
-            rq = qv - coarse[c]
-            luts[int(c)] = np.stack(
-                [
-                    ((rq[s * dsub : (s + 1) * dsub] - codebooks[s]) ** 2).sum(
-                        axis=1
-                    )
-                    for s in range(mm)
-                ]
-            )
-        probe_luts[int(qid)] = luts
     bc = spark.sparkContext.broadcast(probe_luts)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -628,7 +628,7 @@ def sequential_ivfpq_topk(
         pq_sample - coarse[assign_euclidean(pq_sample, coarse)], m, ks
     )
     codes = _encode(X - coarse[clusters], codebooks)
-    mm, _, dsub = codebooks.shape
+    mm = codebooks.shape[0]
     id_to_row = {int(v): i for i, v in enumerate(vec_ids)}
     out = []
     for q in sorted(int(x) for x in query_ids):
@@ -641,15 +641,7 @@ def sequential_ivfpq_topk(
             cm = sub_cl == c
             if not cm.any():
                 continue
-            rq = qv - coarse[c]
-            lut = np.stack(
-                [
-                    ((rq[s * dsub : (s + 1) * dsub] - codebooks[s]) ** 2).sum(
-                        axis=1
-                    )
-                    for s in range(mm)
-                ]
-            )
+            lut = _subspace_lut(qv - coarse[c], codebooks)
             d[cm] = lut[np.arange(mm)[None, :], sub_codes[cm]].sum(axis=1)
         sel_k = np.lexsort((sub_ids, d))[:k]
         for r, i in enumerate(sel_k, start=1):
@@ -672,17 +664,12 @@ def sequential_pq_topk(
     cb = _sequential_fit(vec_ids, vectors, m, ks, fit_mod, fit_sample_rows)
     X = vectors.astype(np.float64)
     codes = _encode(X, cb)
-    mm, _, dsub = cb.shape
+    mm = cb.shape[0]
     id_to_row = {int(v): i for i, v in enumerate(vec_ids)}
     out = []
     for q in sorted(int(x) for x in query_ids):
         qv = X[id_to_row[q]]
-        lut = np.stack(
-            [
-                ((qv[s * dsub : (s + 1) * dsub] - cb[s]) ** 2).sum(axis=1)
-                for s in range(mm)
-            ]
-        )
+        lut = _subspace_lut(qv, cb)
         dist = lut[np.arange(mm)[None, :], codes].sum(axis=1)
         order = np.lexsort((vec_ids, dist))[:k]
         for r, i in enumerate(order, start=1):

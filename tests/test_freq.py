@@ -1,0 +1,181 @@
+"""Frequency operators: two-phase exact-verified heavy hitters and
+deterministic sampling (operators/freq.py) — checked against pure-Python
+exact references, plus the properties that matter at scale: partition-
+layout independence of the final output, the Misra–Gries superset
+guarantee of phase 1, the no-shuffle plan of the hash sampler, and
+by-key atomicity of the Bernoulli sample."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.operators.freq import (
+    _mg_trim,
+    heavy_hitters,
+    sample_by_hash,
+    stratified_sample,
+)
+
+
+def _zipfish_rows(seed: int, n: int) -> list[tuple[str, str]]:
+    """(group, value) rows with a skewed value distribution — a few very
+    hot values over a long uniform tail."""
+    rng = random.Random(seed)
+    rows = []
+    for _ in range(n):
+        g = rng.choice(["en", "de"])
+        if rng.random() < 0.4:
+            v = rng.choice(["hot_a", "hot_b", "hot_c"])
+        else:
+            v = f"tail_{rng.randrange(500)}"
+        rows.append((g, v))
+    return rows
+
+
+def _exact_hh(rows, num, den, grouped):
+    from collections import Counter
+
+    out = {}
+    if grouped:
+        by_g: dict[str, Counter] = {}
+        for g, v in rows:
+            by_g.setdefault(g, Counter())[v] += 1
+        for g, c in by_g.items():
+            total = sum(c.values())
+            for v, f in c.items():
+                if f * den >= num * total:
+                    out[(g, v)] = (f, total)
+    else:
+        c = Counter(v for _, v in rows)
+        total = sum(c.values())
+        for v, f in c.items():
+            if f * den >= num * total:
+                out[(v,)] = (f, total)
+    return out
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_heavy_hitters_match_exact_counts(spark, grouped):
+    rows = _zipfish_rows(11, 4000)
+    df = spark.createDataFrame(rows, "grp string, val string")
+    groups = ["grp"] if grouped else None
+    got = heavy_hitters(
+        df, "val", threshold_num=1, threshold_den=50, group_cols=groups
+    ).collect()
+    want = _exact_hh(rows, 1, 50, grouped)
+    got_map = {
+        ((r["grp"], r["val"]) if grouped else (r["val"],)): (
+            r["freq"],
+            r["total"],
+        )
+        for r in got
+    }
+    assert got_map == want
+    assert want, "fixture must actually produce heavy hitters"
+
+
+def test_heavy_hitters_independent_of_partition_layout(spark):
+    rows = _zipfish_rows(12, 3000)
+    df = spark.createDataFrame(rows, "grp string, val string")
+
+    def run(d):
+        return sorted(
+            (r["val"], r["freq"], r["total"])
+            for r in heavy_hitters(d, "val", 1, 40).collect()
+        )
+
+    assert run(df.repartition(1)) == run(df.repartition(13, "val")) == run(
+        df.repartition(7)
+    )
+
+
+def test_heavy_hitters_drops_null_values_and_groups(spark):
+    df = spark.createDataFrame(
+        [("en", "x"), ("en", None), (None, "x"), ("en", "x")],
+        "grp string, val string",
+    )
+    rows = heavy_hitters(df, "val", 1, 2, group_cols=["grp"]).collect()
+    # only the two non-null ("en", "x") rows count: freq 2 of total 2
+    assert [(r["grp"], r["val"], r["freq"], r["total"]) for r in rows] == [
+        ("en", "x", 2, 2)
+    ]
+
+
+def test_mg_trim_keeps_superset_of_heavy_items():
+    """The module-level guarantee on the exact structure phase 1 uses:
+    after any stream is folded through batch-count + _mg_trim, every item
+    with true frequency >= n/(cap) survives (cap = ceil(den/num) makes
+    the undercount bound n/(cap+1) strictly smaller)."""
+    rng = random.Random(99)
+    stream = [rng.choice("abc") for _ in range(900)] + [
+        f"t{rng.randrange(1000)}" for _ in range(2000)
+    ]
+    rng.shuffle(stream)
+    cap = 20  # threshold 1/20
+    counters: dict[str, int] = {}
+    for i in range(0, len(stream), 128):  # batched merge, like mapInPandas
+        from collections import Counter
+
+        for v, c in Counter(stream[i : i + 128]).items():
+            counters[v] = counters.get(v, 0) + c
+            _mg_trim(counters, cap)
+    from collections import Counter
+
+    true = Counter(stream)
+    n = len(stream)
+    heavy = {v for v, f in true.items() if f * 20 >= n}
+    assert heavy, "fixture must contain heavy items"
+    assert heavy <= set(counters), "MG summary lost a heavy item"
+    assert len(counters) <= cap
+
+
+def test_sample_by_hash_is_by_key_and_deterministic(spark):
+    rows = [(i % 200, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "key long, payload long")
+    s1 = sample_by_hash(df, "key", 10, 100).collect()
+    s2 = sample_by_hash(df.repartition(9), "key", 10, 100).collect()
+    assert sorted((r["key"], r["payload"]) for r in s1) == sorted(
+        (r["key"], r["payload"]) for r in s2
+    )
+    # by-key atomicity: every sampled key keeps ALL its 10 payload rows
+    from collections import Counter
+
+    per_key = Counter(r["key"] for r in s1)
+    assert per_key and all(c == 10 for c in per_key.values())
+    # rate sanity: 10% of 200 keys, binomially spread
+    assert 5 <= len(per_key) <= 40
+
+
+def test_sample_by_hash_plan_has_no_shuffle(spark):
+    df = spark.range(1000).select(F.col("id").alias("key"))
+    plan = sample_by_hash(df, "key", 1, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_sizes_and_determinism(spark):
+    rows = [(f"s{i % 3}", i) for i in range(900)] + [("rare", 1_000_000)]
+    df = spark.createDataFrame(rows, "stratum string, key long")
+    out1 = stratified_sample(df, ["stratum"], "key", 7).collect()
+    out2 = stratified_sample(
+        df.repartition(11, "key"), ["stratum"], "key", 7
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    sizes = Counter(r["stratum"] for r in out1)
+    assert sizes == {"s0": 7, "s1": 7, "s2": 7, "rare": 1}
+    ranks = sorted(r["sample_rank"] for r in out1 if r["stratum"] == "s0")
+    assert ranks == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_heavy_hitters_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([("x",)], "val string")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "val", 0, 10)
+    with pytest.raises(ValueError):
+        sample_by_hash(df, "val", 0, 10)
+    with pytest.raises(ValueError):
+        stratified_sample(df, ["val"], "val", 0)

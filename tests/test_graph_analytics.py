@@ -186,3 +186,49 @@ def test_triangle_counts_k4(spark):
         for r in triangle_counts(_pairs_df(spark, pairs)).collect()
     }
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def _py_khop(pairs, sources, k):
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in sources}
+    frontier = set(sources)
+    for d in range(1, k + 1):
+        nxt = set()
+        for u in frontier:
+            for v in nbrs.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_k_hop_matches_python_bfs(spark):
+    from omop_concept_automapper_spark.operators.graph_analytics import k_hop
+
+    pairs = _random_pairs(31, n_nodes=120, n_edges=200)
+    sources = [0, 55]
+    got = {
+        r["node"]: r["dist"]
+        for r in k_hop(
+            _pairs_df(spark, pairs),
+            spark.createDataFrame([(s,) for s in sources], "node long"),
+            k=3,
+        ).collect()
+    }
+    assert got == _py_khop(pairs, sources, 3)
+
+
+def test_k_hop_early_exit_and_k_zero(spark):
+    from omop_concept_automapper_spark.operators.graph_analytics import k_hop
+
+    # two disconnected edges: frontier drains after 1 hop, loop must exit
+    pairs = _pairs_df(spark, [(1, 2), (10, 11)])
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in k_hop(pairs, srcs, k=5).collect()}
+    assert got == {1: 0, 2: 1}
+    got0 = {r["node"]: r["dist"] for r in k_hop(pairs, srcs, k=0).collect()}
+    assert got0 == {1: 0}
