@@ -794,6 +794,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
         return sample_by_hash(li, "l_orderkey", num=3, den=100)
 
+    def freq_exact_quantiles(spark, sf):
+        # NEW r6: exact percentile_disc quantiles of the per-document
+        # token-count distribution, per doc_id%3 group — distribution
+        # aggregation + the two-phase running total, never an Exchange
+        # SinglePartition; basis-point thresholds keep the selection
+        # predicate pure integer arithmetic (operators/freq.py)
+        from omop_concept_automapper_spark.functions.text import token_count
+        from omop_concept_automapper_spark.operators.freq import (
+            exact_quantiles,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            (F.col("doc_id") % 3).alias("grp"),
+            token_count("text").cast("long").alias("n"),
+        )
+        return exact_quantiles(
+            d, "n", [2500, 5000, 9000, 9900, 10000], group_cols=["grp"]
+        )
+
+    def kg_negative_samples_gate(spark, sf):
+        # NEW r6: deterministic TransE-style negative sampling over an
+        # edge list — hash-drawn corrupted objects from the by-value-
+        # indexed candidate vocabulary (two-phase index, no single-task
+        # window), filtered by one anti-join (operators/negatives.py)
+        from omop_concept_automapper_spark.operators.negatives import (
+            kg_negative_samples,
+        )
+
+        e = (
+            _t(spark, sf, "orders")
+            .select(
+                (F.col("o_custkey") % 100).alias("subj"),
+                F.col("o_orderpriority").alias("obj"),
+            )
+            .distinct()
+        )
+        return kg_negative_samples(e, n_neg=2)
+
     # --------------------------------------------------------- graph
     def cc_components(spark, sf):
         li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
@@ -1435,6 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # s3/s6/s7/s8, p1/p3/p5, a5, j4_checkpoint, j8, o1,
     # dedup_embedding_cosine, dedup_ngram_jaccard, ann_ivf_recall)
     # rotate out.
+    # Late-r6 additions freq_exact_quantiles + kg_negative_samples also
+    # enter; ann_ivf_topk (ann_ivf_approx stays as the strict variant) and
+    # text_lang_id (both r5-green) demote to make room.
     # Gates whose code moved THIS round stay in:
     # pack_chunks (scalar re-render — the one red r5 row), the runner gates
     # (st1/kg_pipeline_edges — graph-stamp fast path), corpus_assembly
@@ -1464,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sample_hash_frac": sample_hash_frac,
         "graph_khop": graph_khop,
+        "freq_exact_quantiles": freq_exact_quantiles,
+        "kg_negative_samples": kg_negative_samples_gate,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1489,10 +1532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters_gate,
         "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
-        "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_approx": ann_ivf_approx,
         "ann_lsh_bucketed": ann_lsh_bucketed,
-        "text_lang_id": text_lang_id,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_bpeish_tokens": text_bpeish_tokens,
         "pack_sequences": pack_sequences_gate,
@@ -1505,6 +1546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
         "text_quality_metrics": text_quality_metrics,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_lang_id": text_lang_id,
         "cc_components": cc_components,
         # --- representative relational slice ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -2740,6 +2783,51 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_frac": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT % 100 < 3""",
+        # the two-phase running total is invisible to the answer: the
+        # oracle is the plain windowed cumulative over the distribution
+        "freq_exact_quantiles": """
+            WITH toks AS (
+              SELECT (doc_id % 3) AS grp,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n
+              FROM documents),
+            dist AS (SELECT grp, n, count(*) AS c FROM toks
+                     WHERE n IS NOT NULL GROUP BY grp, n),
+            cum AS (SELECT grp, n, c,
+                    CAST(sum(c) OVER (PARTITION BY grp ORDER BY n)
+                         AS BIGINT) AS n_le,
+                    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_total
+                    FROM dist)
+            SELECT grp, q.q_bp, n, n_le, n_total
+            FROM cum, (VALUES (2500), (5000), (9000), (9900), (10000))
+                 AS q(q_bp)
+            WHERE n_le * 10000 >= q.q_bp * n_total
+              AND (n_le - c) * 10000 < q.q_bp * n_total""",
+        # slot = 60-bit md5(subj|obj|draw) mod n_candidates, candidates
+        # indexed by object order; filtered = NOT EXISTS a true edge
+        "kg_negative_samples": """
+            WITH e AS (
+              SELECT DISTINCT (o_custkey % 100) AS subj,
+                     o_orderpriority AS obj
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL),
+            cand AS (
+              SELECT obj AS neg_obj,
+                     CAST(row_number() OVER (ORDER BY obj) AS BIGINT) AS slot
+              FROM (SELECT DISTINCT obj FROM e)),
+            n AS (SELECT count(*) AS n_cand FROM cand),
+            drawn AS (
+              SELECT e.subj, e.obj, r.neg_rank,
+                     (('0x' || substr(md5(e.subj::VARCHAR || '|' || e.obj
+                        || '|' || r.neg_rank::VARCHAR), 1, 15))::BIGINT
+                      % n.n_cand) + 1 AS slot
+              FROM e, (VALUES (1), (2)) AS r(neg_rank), n)
+            SELECT d.subj, d.obj, d.neg_rank, c.neg_obj
+            FROM drawn d JOIN cand c USING (slot)
+            WHERE NOT EXISTS (SELECT 1 FROM e e2
+                              WHERE e2.subj = d.subj
+                                AND e2.obj = c.neg_obj)""",
         "graph_khop": f"""
             WITH RECURSIVE {_COORDER_PAIRS_SQL},
             bidir AS (SELECT doc_id_1 AS src, doc_id_2 AS dst FROM cpairs

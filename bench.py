@@ -139,6 +139,36 @@ def main() -> None:
     timings["ann_ivf_payoff_query"] = ivf["sec_ivf_query"]
     timings["ann_pq_payoff_query"] = ivf["sec_pq_query"]
 
+    # r6: the payoff claim AT the payoff scale.  2M vectors can't show it
+    # — brute force is ~1s there, the same order as fixed per-job latency,
+    # so pruning 89% of the scan saves almost nothing (speedup ~1x, see
+    # BENCH/ivf_payoff_curve.json for the full sweep).  At 16M vectors
+    # brute is ~4.4s and the probed scan (n_probe=2 of 128 lists, ~6% of
+    # rows) answers in ~1.2s at recall 1.0 — the curve's ≥3x point, and
+    # the trend (speedup -> 1/scan_fraction) is the 100 TB argument.
+    # IVF-only: PQ fields already ride on the 2M run above.
+    ivf16_n = int(
+        os.environ.get("SPARK_GRAFT_IVF_PAYOFF16_VECTORS", "16000000")
+    )
+    extra16 = {}
+    if ivf16_n > 0:
+        work16 = tempfile.mkdtemp(prefix="ivf_payoff16_")
+        try:
+            ivf16 = run_ivf_payoff_bench(
+                spark, work16, n_vectors=ivf16_n, n_centroids=128,
+                include_pq=False,
+            )
+        finally:
+            shutil.rmtree(work16, ignore_errors=True)
+        timings["ann_ivf_payoff_query_16m"] = ivf16["sec_ivf_query"]
+        extra16 = {
+            "ivf_payoff16_n_vectors": ivf16["n_vectors"],
+            "ivf_payoff16_sec_brute": ivf16["sec_brute_query"],
+            "ivf_payoff16_speedup": ivf16["speedup_query"],
+            "ivf_payoff16_recall_at_k": ivf16["recall_at_k"],
+            "ivf_payoff16_scan_fraction": ivf16["scan_fraction"],
+        }
+
     # CC at scale: 10^6 edges including a 200k-degree hub (SCALE.md claim:
     # hubs contract in one round, rounds stay O(log n))
     from pyspark.sql import functions as F
@@ -218,6 +248,7 @@ def main() -> None:
         "pq_payoff_compression": ivf["pq_compression"],
         "pq_payoff_index_bytes": ivf["pq_index_bytes"],
         "pq_payoff_raw_index_bytes": ivf["raw_index_bytes"],
+        **extra16,
     }
     sys.stdout.write(json.dumps(result) + "\n")
     sys.stdout.flush()

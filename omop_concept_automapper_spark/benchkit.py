@@ -327,6 +327,7 @@ def run_ivf_payoff_bench(
     n_queries: int = 4,
     k: int = 10,
     reps: int = 2,
+    include_pq: bool = True,
 ) -> dict:
     """Evidence that the approximate IVF path PAYS at scale (r5 verdict
     ask #6): over a ``n_vectors``-vector clustered corpus, time
@@ -435,6 +436,26 @@ def run_ivf_payoff_bench(
     )
 
     recall = len(brute & ivf) / max(len(brute), 1)
+
+    ivf_only = {
+        "n_vectors": n_vectors,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "n_probe": n_probe,
+        "n_queries": n_queries,
+        "k": k,
+        "sec_brute_query": round(t_brute, 3),
+        "sec_ivf_build": round(t_build, 3),
+        "sec_ivf_query": round(t_ivf, 3),
+        "speedup_query": round(t_brute / max(t_ivf, 1e-9), 2),
+        "recall_at_k": round(recall, 4),
+        "scan_fraction": round(rows_scanned / n_vectors, 4),
+    }
+    if not include_pq:
+        # curve sweeps (BENCH/run_ivf_payoff_curve.py) only need the
+        # IVF-vs-brute trend; PQ encodes the full corpus in Python and
+        # would dominate the sweep's wall time without adding evidence
+        return ivf_only
 
     # ---- IVFPQ rider (r6): same corpus, same probe discipline, but the
     # scanned table is PQ codes (m ints/row) instead of raw floats — the
@@ -545,18 +566,7 @@ def run_ivf_payoff_bench(
 
     pq_bytes, raw_bytes = _du(pq_path), _du(index_path)
     return {
-        "n_vectors": n_vectors,
-        "dim": dim,
-        "n_centroids": n_centroids,
-        "n_probe": n_probe,
-        "n_queries": n_queries,
-        "k": k,
-        "sec_brute_query": round(t_brute, 3),
-        "sec_ivf_build": round(t_build, 3),
-        "sec_ivf_query": round(t_ivf, 3),
-        "speedup_query": round(t_brute / max(t_ivf, 1e-9), 2),
-        "recall_at_k": round(recall, 4),
-        "scan_fraction": round(rows_scanned / n_vectors, 4),
+        **ivf_only,
         "sec_pq_build": round(t_pq_build, 3),
         "sec_pq_query": round(t_pq, 3),
         "pq_recall_probed_l2": round(pq_recall, 4),

@@ -134,6 +134,94 @@ def heavy_hitters(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles_bp: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT discrete quantiles (percentile_disc semantics) of an integral
+    column, per group or globally, without a global sort.
+
+    ``quantiles_bp`` are basis points (1..10000, e.g. 5000 = median,
+    9900 = p99) so the selection predicate is pure 64-bit integer
+    arithmetic — no float quantile, no cross-engine rounding hazard.
+    For each q the result row is the smallest value v with
+    ``count(rows <= v) * 10000 >= q * N`` (so 10000 is the max).
+
+    Output: group cols + ``q_bp int`` + value col + ``n_le`` (rows <= v)
+    + ``n_total`` — one row per (group, q).  NULL values are excluded
+    (as in SQL percentile aggregates); NULL group keys are kept.
+
+    Scale shape: the classic "aggregate the DISTRIBUTION, not the rows"
+    trick for bounded-cardinality value columns (lengths, scores, token
+    counts — the packing/corpus-stats columns this exists for).  One
+    keyed shuffle builds (value, count); the cumulative count then runs
+    through the same two-phase distributed running total as sequence
+    packing (range partition -> O(partitions) driver offset fold ->
+    broadcast join), so nothing ever collapses into a single task — a
+    plain ``Window.orderBy(value)`` here would be an
+    ``Exchange SinglePartition``.  The q-selection is a tiny
+    crossJoin(broadcast) + integer filter.  For near-row-cardinality
+    value columns use kmv_distinct/heavy_hitters-style sketching
+    instead; the distribution itself is the output's size bound.
+    """
+    from omop_concept_automapper_spark.operators.packing import (
+        global_running_total,
+    )
+
+    if not quantiles_bp:
+        raise ValueError("need at least one quantile")
+    for q in quantiles_bp:
+        if not (0 < q <= 10000):
+            raise ValueError(f"quantile basis points must be in 1..10000: {q}")
+    groups = list(group_cols or [])
+    vtype = dict(df.dtypes)[value_col]
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"exact_quantiles needs an integral value_col; {value_col} is "
+            f"{vtype} (quantize floats to fixed-point first)"
+        )
+    dist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count("*").alias("_cnt"))
+    )
+    # values are distinct within a group after the groupBy, so value_col
+    # itself is the required total order
+    cum = global_running_total(
+        dist, "_cnt", order_cols=[value_col], group_cols=groups
+    ).withColumnRenamed("_cum", "n_le")
+    if groups:
+        totals = dist.groupBy(*groups).agg(F.sum("_cnt").alias("n_total"))
+        # null-safe on the group keys — a NULL group is a group here too
+        tot = totals.select(
+            *[F.col(c).alias(f"_tot_{c}") for c in groups], "n_total"
+        )
+        cond = None
+        for c in groups:
+            eq = cum[c].eqNullSafe(tot[f"_tot_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        joined = cum.join(tot, cond).drop(*[f"_tot_{c}" for c in groups])
+    else:
+        totals = dist.agg(F.sum("_cnt").alias("n_total"))
+        joined = cum.crossJoin(F.broadcast(totals))
+    qs = F.explode(
+        F.array(*[F.lit(int(q)) for q in sorted(set(quantiles_bp))])
+    ).alias("q_bp")
+    return (
+        joined.select("*", qs)
+        .where(
+            (F.col("n_le") * F.lit(10000) >= F.col("q_bp") * F.col("n_total"))
+            & (
+                (F.col("n_le") - F.col("_cnt")) * F.lit(10000)
+                < F.col("q_bp") * F.col("n_total")
+            )
+        )
+        .select(*groups, "q_bp", value_col, "n_le", "n_total")
+    )
+
+
 def sample_by_hash(
     df: DataFrame, key_col: str, num: int, den: int
 ) -> DataFrame:

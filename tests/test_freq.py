@@ -179,3 +179,111 @@ def test_heavy_hitters_rejects_bad_threshold(spark):
         sample_by_hash(df, "val", 0, 10)
     with pytest.raises(ValueError):
         stratified_sample(df, ["val"], "val", 0)
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def _py_percentile_disc(vals, q_bp):
+    """Smallest v with count(<= v) * 10000 >= q_bp * n — i.e. the value at
+    1-based sorted index ceil(q_bp * n / 10000)."""
+    s = sorted(vals)
+    idx = -(-q_bp * len(s) // 10000)  # ceil
+    return s[idx - 1]
+
+
+@pytest.mark.parametrize("grouped", [False, True])
+def test_exact_quantiles_match_python_reference(spark, grouped):
+    from omop_concept_automapper_spark.operators.freq import exact_quantiles
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b"]), rng.choice([-5, 0, 3, 3, 3, 7, 11, 40]))
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, n int")
+    qs = [1, 2500, 5000, 9000, 10000]
+    got = exact_quantiles(
+        df, "n", qs, group_cols=["grp"] if grouped else None
+    ).collect()
+    if grouped:
+        by_g: dict[str, list[int]] = {}
+        for g, v in rows:
+            by_g.setdefault(g, []).append(v)
+        want = {
+            (g, q): _py_percentile_disc(vs, q)
+            for g, vs in by_g.items()
+            for q in qs
+        }
+        assert {(r["grp"], r["q_bp"]): r["n"] for r in got} == want
+    else:
+        vals = [v for _, v in rows]
+        assert {r["q_bp"]: r["n"] for r in got} == {
+            q: _py_percentile_disc(vals, q) for q in qs
+        }
+    # n_le / n_total carry the evidence for each pick
+    for r in got:
+        assert r["n_le"] * 10000 >= r["q_bp"] * r["n_total"]
+
+
+def test_exact_quantiles_layout_independent_and_null_safe(spark):
+    from omop_concept_automapper_spark.operators.freq import exact_quantiles
+
+    rows = [(None if i % 7 == 0 else f"g{i % 2}", i % 13) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, n int")
+
+    def run(d):
+        return sorted(
+            (
+                (r["grp"], r["q_bp"], r["n"], r["n_le"], r["n_total"])
+                for r in exact_quantiles(
+                    d, "n", [5000, 10000], group_cols=["grp"]
+                ).collect()
+            ),
+            key=lambda t: (t[0] is None, t),
+        )
+
+    out = run(df.repartition(1))
+    assert out == run(df.repartition(17))
+    # the NULL group is a group: it has its own median + max rows
+    assert {g for g, *_ in out} == {None, "g0", "g1"}
+
+
+def test_exact_quantiles_excludes_null_values_and_validates(spark):
+    from omop_concept_automapper_spark.operators.freq import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (3,), (None,), (5,)], "n int"
+    )
+    got = {r["q_bp"]: (r["n"], r["n_total"]) for r in
+           exact_quantiles(df, "n", [5000, 10000]).collect()}
+    assert got == {5000: (3, 3), 10000: (5, 3)}
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "n", [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "n", [0])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "n", [10001])
+    with pytest.raises(TypeError):
+        exact_quantiles(
+            spark.createDataFrame([(1.5,)], "n double"), "n", [5000]
+        )
+
+
+def test_exact_quantiles_plan_never_collapses_to_one_task(spark):
+    """Grouped plan: NO SinglePartition anywhere — the cumulative count
+    rides the two-phase running total, not a global-order window.  (The
+    ungrouped variant legitimately has ONE SinglePartition: the final
+    1-row grand-total aggregate, whose input is the already-aggregated
+    O(partitions) partials — not a data collapse.)"""
+    from omop_concept_automapper_spark.operators.freq import exact_quantiles
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 97).cast("int").alias("n"),
+    )
+    plan = (
+        exact_quantiles(df, "n", [5000], group_cols=["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan
