@@ -813,6 +813,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "n", [2500, 5000, 9000, 9900, 10000], group_cols=["grp"]
         )
 
+    def text_tfidf_top_terms(spark, sf):
+        # NEW r6: rational tf-idf keyword extraction — score = tf*1e6 DIV
+        # df, pure integer arithmetic so the oracle is bit-identical;
+        # (doc,term) shuffle -> term-keyed df -> keyed join -> per-doc
+        # top-k window (operators/freq.py)
+        from omop_concept_automapper_spark.operators.dedup import tokens_col
+        from omop_concept_automapper_spark.operators.freq import (
+            tfidf_top_terms,
+        )
+
+        d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        return tfidf_top_terms(d, "doc_id", tokens_col("text"), k=3)
+
     def kg_negative_samples_gate(spark, sf):
         # NEW r6: deterministic TransE-style negative sampling over an
         # edge list — hash-drawn corrupted objects from the by-value-
@@ -1507,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": graph_khop,
         "freq_exact_quantiles": freq_exact_quantiles,
         "kg_negative_samples": kg_negative_samples_gate,
+        "text_tfidf_top_terms": text_tfidf_top_terms,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1527,7 +1541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_quality_metrics demoted below the window this round to make
         # room for the new freq/sample/khop gates — all four were
         # driver-green in r5 and stay covered by the in-repo mirror)
-        "dedup_minhash_sigs": dedup_minhash_sigs,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_clusters": dedup_clusters_gate,
         "ann_topk_vec0": ann_topk_vec0,
@@ -1548,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_metrics": text_quality_metrics,
         "ann_ivf_topk": ann_ivf_topk,
         "text_lang_id": text_lang_id,
+        "dedup_minhash_sigs": dedup_minhash_sigs,
         "cc_components": cc_components,
         # --- representative relational slice ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -2804,6 +2818,21 @@ def oracle_sql() -> dict[str, str]:
                  AS q(q_bp)
             WHERE n_le * 10000 >= q.q_bp * n_total
               AND (n_le - c) * 10000 < q.q_bp * n_total""",
+        "text_tfidf_top_terms": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term
+                         FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                   WHERE term IS NOT NULL GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (SELECT t.doc_id, t.term, t.tf, d.df,
+                              t.tf * 1000000 // d.df AS score
+                       FROM tf t JOIN dfreq d USING (term)),
+            ranked AS (SELECT *, CAST(row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS BIGINT) AS term_rank
+                       FROM scored)
+            SELECT doc_id, term, tf, df, score, term_rank
+            FROM ranked WHERE term_rank <= 3""",
         # slot = 60-bit md5(subj|obj|draw) mod n_candidates, candidates
         # indexed by object order; filtered = NOT EXISTS a true edge
         "kg_negative_samples": """

@@ -1,5 +1,6 @@
-"""Frequency operators: exact-verified heavy hitters and deterministic
-sampling (training-data pipeline ops).
+"""Frequency operators: exact-verified heavy hitters, exact distribution
+quantiles, rational tf-idf, and deterministic sampling (training-data
+pipeline ops).
 
 Heavy hitters is the canonical "can't just groupBy at 100 TB" problem:
 when the value column has near-row cardinality (tokens, URLs, user ids),
@@ -261,4 +262,61 @@ def stratified_sample(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    tokens,
+    k: int,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document by RATIONAL
+    tf-idf: ``score = (tf * scale) DIV df`` — term frequency weighted by
+    inverse document frequency with a linear (not log) idf, so the whole
+    computation is 64-bit integer arithmetic and a SQL oracle reproduces
+    it bit-for-bit (a float ``log(n/df)`` ranks slightly differently but
+    its cross-engine last-ulp behavior is not testable; within one
+    document the linear idf preserves the "rare beats common" ordering
+    that matters for keyword extraction).
+
+    ``tokens``: a Column producing ``array<string>`` per row (e.g.
+    ``operators.dedup.tokens_col('text')``).  NULL/empty-text rows
+    contribute nothing.  Output: id col + ``term, tf, df, score,
+    term_rank`` (ties broken by term ascending — deterministic).
+
+    Scale shape: explode is map-side; ``tf`` is one (doc, term) keyed
+    shuffle; ``df`` reuses the tf output grouped by term (the map-side
+    partial compresses hard because (doc, term) is already distinct);
+    the tf–df join is a plain keyed join on term (hot terms are exactly
+    what AQE skew-split handles); the final top-k window is keyed by doc
+    with bounded sort state.  Nothing driver-resident, no floats.
+    ``tf * scale`` caps at doc_len * scale — at scale=1e6 a document
+    would need >9e12 copies of one token to overflow, and ANSI mode
+    would throw rather than wrap.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens).alias("term"))
+        .where(F.col("term").isNotNull())
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.expr(f"tf * {int(scale)} DIV df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn(
+            "term_rank", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "term_rank")
     )

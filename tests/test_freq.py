@@ -287,3 +287,77 @@ def test_exact_quantiles_plan_never_collapses_to_one_task(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+def test_tfidf_top_terms_matches_python_reference(spark):
+    from collections import Counter
+
+    from omop_concept_automapper_spark.operators.freq import tfidf_top_terms
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple cherry cherry cherry"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["df"], r["score"], r["term_rank"])
+        for r in tfidf_top_terms(
+            df, "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+"), k=2
+        ).collect()
+    )
+
+    # python reference with the same rational scoring
+    tf: dict[tuple, int] = {}
+    for d, text in docs:
+        if text is None:
+            continue
+        for t in text.strip().lower().split():
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    # empty text tokenizes to [''] in both engines — mirror that
+    if ("" in [t for _, t in docs if t == ""]):
+        tf[(5, "")] = 1
+    dfreq = Counter(t for _, t in tf)
+    want = []
+    for d in {d for d, _ in tf}:
+        scored = sorted(
+            (
+                (-(tf[(dd, t)] * 1_000_000 // dfreq[t])), t
+            )
+            for (dd, t) in tf
+            if dd == d
+        )
+        for rank, (negscore, t) in enumerate(scored[:2], start=1):
+            want.append((d, t, tf[(d, t)], dfreq[t], -negscore, rank))
+    assert got == sorted(want)
+
+
+def test_tfidf_rare_terms_outrank_common_at_equal_tf(spark):
+    from omop_concept_automapper_spark.operators.freq import tfidf_top_terms
+
+    # 'common' appears in every doc, 'rare' in one: at tf=1 each,
+    # rare must rank first
+    docs = [(i, "common rare" if i == 0 else "common filler") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_top_terms(
+            df, "doc_id", F.split(F.col("text"), " "), k=1
+        ).collect()
+    }
+    assert top[0] == "rare"
+
+
+def test_tfidf_validation(spark):
+    from omop_concept_automapper_spark.operators.freq import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, "doc_id", F.split(F.col("text"), " "), k=0)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, "doc_id", F.split(F.col("text"), " "), k=1, scale=0)
