@@ -58,6 +58,9 @@ HEADLINE = [
     "freq_heavy_hitters",
     "sample_hash_frac",
     "graph_khop",
+    "freq_exact_quantiles",
+    "text_tfidf_top_terms",
+    "kg_negative_samples",
 ]
 
 
