@@ -826,6 +826,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").where(F.col("text").isNotNull())
         return tfidf_top_terms(d, "doc_id", tokens_col("text"), k=3)
 
+    def _pii_documents(spark, sf):
+        # Deterministic PII-bearing fixture: the public documents table
+        # plus synthesized contact strings, built by pure column
+        # arithmetic so the SQL twin (_pii_docs_sql) constructs the
+        # byte-identical text — detection/redaction then compare exactly.
+        d = F.col("doc_id")
+
+        def s(e):
+            return e.cast("string")
+
+        email = F.concat(
+            F.lit(" contact user"), s(d), F.lit("@mail"), s(d % 5),
+            F.lit(".example.com"),
+        )
+        phone = F.concat(
+            F.lit(" call "), s(100 + d % 900), F.lit("-"),
+            s(100 + (d * 7) % 900), F.lit("-"), s(1000 + d % 9000),
+        )
+        ssn = F.concat(
+            F.lit(" ssn "), s(100 + d % 900), F.lit("-"), s(10 + d % 90),
+            F.lit("-"), s(1000 + (d * 3) % 9000),
+        )
+        card = F.concat(
+            F.lit(" card "), s(1000 + d % 9000), F.lit("-"),
+            s(1000 + (d * 3) % 9000), F.lit("-"),
+            s(1000 + (d * 7) % 9000), F.lit("-"),
+            s(1000 + (d * 9) % 9000),
+        )
+        ip = F.concat(
+            F.lit(" from 10."), s(d % 256), F.lit(".0."), s(d % 250),
+        )
+        txt = F.concat(
+            F.col("text"),
+            email,
+            F.when(d % 3 == 0, phone).otherwise(F.lit("")),
+            F.when(d % 4 == 1, ssn).otherwise(F.lit("")),
+            F.when(d % 5 == 2, card).otherwise(F.lit("")),
+            F.when(d % 2 == 0, ip).otherwise(F.lit("")),
+        )
+        return (
+            _t(spark, sf, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", txt.alias("text"))
+        )
+
+    def text_pii_detect(spark, sf):
+        # NEW r6: PII audit — exploded (doc, type, raw, stable pseudonym)
+        # rows from one map-only projection (functions/pii.py detect_pii);
+        # zero shuffle, fused with the scan.
+        from omop_concept_automapper_spark.functions.pii import detect_pii
+
+        return detect_pii(_pii_documents(spark, sf)).withColumnRenamed(
+            "match", "pii_text"
+        )
+
+    def text_pii_redact(spark, sf):
+        # NEW r6: PII scrub — sequential regexp_replace to <TYPE>
+        # placeholders plus the per-doc match count (functions/pii.py);
+        # the corpus-entry form of the transcripts.
+        from omop_concept_automapper_spark.functions.pii import (
+            n_pii,
+            redact_pii,
+        )
+
+        return _pii_documents(spark, sf).select(
+            "doc_id",
+            redact_pii("text").alias("redacted"),
+            n_pii("text").alias("n_pii"),
+        )
+
     def kg_negative_samples_gate(spark, sf):
         # NEW r6: deterministic TransE-style negative sampling over an
         # edge list — hash-drawn corrupted objects from the by-value-
@@ -1521,6 +1591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freq_exact_quantiles": freq_exact_quantiles,
         "kg_negative_samples": kg_negative_samples_gate,
         "text_tfidf_top_terms": text_tfidf_top_terms,
+        # --- NEW r6b: PII scrubbing (pack_sequences + chunk_manifest
+        # demote below the window to make room — both driver-green r5,
+        # code untouched this round, mirror-covered) ---
+        "text_pii_detect": text_pii_detect,
+        "text_pii_redact": text_pii_redact,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1549,12 +1624,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_bpeish_tokens": text_bpeish_tokens,
-        "pack_sequences": pack_sequences_gate,
         "mixture_interleave": mixture_interleave_gate,
-        "chunk_manifest": chunk_manifest_gate,
         "pack_chunks": pack_chunks_gate,  # scalar re-render r6 — needs row
         "corpus_assembly": corpus_assembly_gate,
         # --- demoted this round (driver-green r5, mirror-covered) ---
+        "pack_sequences": pack_sequences_gate,
+        "chunk_manifest": chunk_manifest_gate,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
@@ -1869,6 +1944,81 @@ def _kg_mention_freqs_sql(n_conversations: int = 40) -> str:
     return (
         f"SELECT mention_text, CAST(freq AS BIGINT) AS freq "
         f"FROM (VALUES {rows}) AS t(mention_text, freq)"
+    )
+
+
+# The PII fixture text, byte-identical to the Spark gate's _pii_documents
+# (string concat of the same integer arithmetic; DuckDB CAST(BIGINT AS
+# VARCHAR) renders plain digits exactly like Spark's long->string cast).
+_PII_DOCS_SQL = """
+    pii_docs AS (
+      SELECT doc_id,
+             text
+             || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  ' call ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                  || '-' || CAST(100 + (doc_id * 7) % 900 AS VARCHAR)
+                  || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                ELSE '' END
+             || CASE WHEN doc_id % 4 = 1 THEN
+                  ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+                  || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+                  || '-' || CAST(1000 + (doc_id * 3) % 9000 AS VARCHAR)
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 2 THEN
+                  ' card ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || '-' || CAST(1000 + (doc_id * 3) % 9000 AS VARCHAR)
+                  || '-' || CAST(1000 + (doc_id * 7) % 9000 AS VARCHAR)
+                  || '-' || CAST(1000 + (doc_id * 9) % 9000 AS VARCHAR)
+                ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN
+                  ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                ELSE '' END
+             AS text
+      FROM documents WHERE text IS NOT NULL)
+"""
+
+
+def _pii_detect_sql() -> str:
+    """Per-type unnest(regexp_extract_all) unioned — patterns are the
+    single source of truth in functions/pii.py (RE2 and Java treat them
+    identically: no lookarounds, ASCII classes, leftmost-first greedy)."""
+    from omop_concept_automapper_spark.functions.pii import (
+        PII_PATTERNS,
+        PSEUDO_LEN,
+    )
+
+    arms = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, '{name}' AS pii_type, "
+        f"unnest(regexp_extract_all(text, '{pat}')) AS pii_text "
+        f"FROM pii_docs"
+        for name, pat in PII_PATTERNS
+    )
+    return (
+        f"WITH {_PII_DOCS_SQL}, m AS (\n{arms})\n"
+        f"SELECT doc_id, pii_type, pii_text, "
+        f"substr(md5(pii_text), 1, {PSEUDO_LEN}) AS pseudo FROM m"
+    )
+
+
+def _pii_redact_sql() -> str:
+    """Nested global regexp_replace in PII_PATTERNS order (the 'g' flag —
+    DuckDB replaces only the first match by default, Spark replaces all)
+    plus the summed per-type match counts."""
+    from omop_concept_automapper_spark.functions.pii import PII_PATTERNS
+
+    red = "text"
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<{name}>', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in PII_PATTERNS
+    )
+    return (
+        f"WITH {_PII_DOCS_SQL}\n"
+        f"SELECT doc_id, {red} AS redacted, "
+        f"CAST({counts} AS INTEGER) AS n_pii FROM pii_docs"
     )
 
 
@@ -2671,6 +2821,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_freqs_token_path": _kg_mention_freqs_token_path_sql(),
         "kg_mention_freqs_token_20k": _kg_mention_freqs_token_20k_sql(),
         "ann_ivf_approx": _ivf_approx_sql(),
+        "text_pii_detect": _pii_detect_sql(),
+        "text_pii_redact": _pii_redact_sql(),
         "ann_ivf_recall": _ivf_recall_sql(),
         "w6_turn_ordering_invariant": f"""
             SELECT conv_id, turn_idx,

@@ -60,6 +60,7 @@ HEADLINE = [
     "graph_khop",
     "freq_exact_quantiles",
     "text_tfidf_top_terms",
+    "text_pii_redact",
     "kg_negative_samples",
 ]
 
