@@ -915,6 +915,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kg_negative_samples(e, n_neg=2)
 
+    def kg_link_pred_eval(spark, sf):
+        # NEW r6: link-prediction evaluation harness (filtered TransE
+        # protocol) — true edge per subject = nearest same-label vec_id,
+        # negatives hash-drawn by kg_negative_samples, scores integer
+        # cosine basis points, MRR/Hits@k pure 64-bit integer arithmetic
+        # (operators/linkpred.py)
+        from omop_concept_automapper_spark.operators.dedup import cosine_col
+        from omop_concept_automapper_spark.operators.linkpred import (
+            link_prediction_eval,
+        )
+        from omop_concept_automapper_spark.operators.negatives import (
+            kg_negative_samples,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        s = emb.where(F.col("vec_id") < 40).select(
+            F.col("vec_id").alias("subj"), F.col("label").alias("s_label")
+        )
+        o = emb.select(
+            F.col("vec_id").alias("o_id"), F.col("label").alias("o_label")
+        )
+        edges = (
+            s.join(
+                o,
+                (F.col("o_label") == F.col("s_label"))
+                & (F.col("o_id") > F.col("subj")),
+            )
+            .groupBy("subj", "s_label")
+            .agg(F.min("o_id").alias("obj"))
+        )
+        negs = kg_negative_samples(edges.select("subj", "obj"), n_neg=5)
+        cands = (
+            edges.select(
+                "subj",
+                F.col("obj").alias("candidate"),
+                F.lit(1).alias("is_true"),
+            )
+            .unionByName(
+                negs.select(
+                    "subj",
+                    F.col("neg_obj").alias("candidate"),
+                    F.lit(0).alias("is_true"),
+                ).distinct()
+            )
+        )
+        sv = emb.select(
+            F.col("vec_id").alias("subj"), F.col("embedding").alias("s_vec")
+        )
+        cv = emb.select(
+            F.col("vec_id").alias("candidate"),
+            F.col("embedding").alias("c_vec"),
+        )
+        scored = (
+            cands.join(sv, "subj")
+            .join(cv, "candidate")
+            .select(
+                "subj",
+                "candidate",
+                "is_true",
+                F.round(cosine_col(F.col("s_vec"), F.col("c_vec")) * 10000)
+                .cast("long")
+                .alias("score"),
+            )
+        )
+        lbl = edges.select("subj", F.col("s_label").alias("label"))
+        return link_prediction_eval(
+            scored.join(lbl, "subj"), ["subj"], by=["label"]
+        )
+
     # --------------------------------------------------------- graph
     def cc_components(spark, sf):
         li = _t(spark, sf, "lineitem").where(F.col("l_orderkey") < 300)
@@ -1596,6 +1665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code untouched this round, mirror-covered) ---
         "text_pii_detect": text_pii_detect,
         "text_pii_redact": text_pii_redact,
+        # --- NEW r6b: link-prediction eval (ann_topk_vec0 demotes — r5
+        # driver-green, untouched, mirror-covered) ---
+        "kg_link_pred_eval": kg_link_pred_eval,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1618,7 +1690,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_clusters": dedup_clusters_gate,
-        "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
         "ann_ivf_approx": ann_ivf_approx,
         "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -1630,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- demoted this round (driver-green r5, mirror-covered) ---
         "pack_sequences": pack_sequences_gate,
         "chunk_manifest": chunk_manifest_gate,
+        "ann_topk_vec0": ann_topk_vec0,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
@@ -2823,6 +2895,76 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_approx_sql(),
         "text_pii_detect": _pii_detect_sql(),
         "text_pii_redact": _pii_redact_sql(),
+        # filtered TransE protocol: true edge = nearest same-label vec,
+        # negatives re-derive kg_negative_samples' 60-bit md5 slot draw,
+        # rank read off a (score DESC NULLS LAST, candidate ASC) window
+        # with the running-true-count discount, MRR in integer ppm
+        "kg_link_pred_eval": """
+            WITH edges AS (
+              SELECT s.vec_id AS subj, s.label AS label,
+                     min(o.vec_id) AS obj
+              FROM embeddings s JOIN embeddings o
+                ON o.label = s.label AND o.vec_id > s.vec_id
+              WHERE s.vec_id < 40
+              GROUP BY s.vec_id, s.label),
+            cand AS (
+              SELECT obj AS neg_obj,
+                     CAST(row_number() OVER (ORDER BY obj) AS BIGINT)
+                       AS slot
+              FROM (SELECT DISTINCT obj FROM edges)),
+            n AS (SELECT count(*) AS n_cand FROM cand),
+            drawn AS (
+              SELECT e.subj, e.obj, r.neg_rank,
+                     (('0x' || substr(md5(CAST(e.subj AS VARCHAR) || '|'
+                        || CAST(e.obj AS VARCHAR) || '|'
+                        || CAST(r.neg_rank AS VARCHAR)), 1, 15))::BIGINT
+                      % n.n_cand) + 1 AS slot
+              FROM edges e,
+                   (VALUES (1), (2), (3), (4), (5)) AS r(neg_rank), n),
+            negs AS (
+              SELECT DISTINCT d.subj, c.neg_obj AS candidate
+              FROM drawn d JOIN cand c USING (slot)
+              WHERE NOT EXISTS (SELECT 1 FROM edges e2
+                                WHERE e2.subj = d.subj
+                                  AND e2.obj = c.neg_obj)),
+            cands AS (
+              SELECT subj, obj AS candidate, 1 AS is_true FROM edges
+              UNION ALL
+              SELECT subj, candidate, 0 AS is_true FROM negs),
+            scored AS (
+              SELECT c.subj, c.candidate, c.is_true,
+                     CAST(ROUND(list_cosine_similarity(
+                       sv.embedding::DOUBLE[], cv.embedding::DOUBLE[])
+                       * 10000) AS BIGINT) AS score
+              FROM cands c
+              JOIN embeddings sv ON sv.vec_id = c.subj
+              JOIN embeddings cv ON cv.vec_id = c.candidate),
+            ranked AS (
+              SELECT subj, is_true,
+                     row_number() OVER (PARTITION BY subj
+                       ORDER BY score DESC NULLS LAST, candidate ASC)
+                       AS rn,
+                     sum(is_true) OVER (PARTITION BY subj
+                       ORDER BY score DESC NULLS LAST, candidate ASC)
+                       AS cum_true
+              FROM scored),
+            rk AS (
+              SELECT r.subj, e.label,
+                     CAST(r.rn - (r.cum_true - 1) AS BIGINT) AS rank
+              FROM ranked r JOIN edges e ON e.subj = r.subj
+              WHERE r.is_true = 1)
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_instances,
+                   CAST(sum(1000000 // rank) AS BIGINT) AS sum_recip_ppm,
+                   CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits_1,
+                   CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits_3,
+                   CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits_10,
+                   CAST(sum(1000000 // rank) // count(*) AS BIGINT)
+                     AS mrr_ppm
+            FROM rk GROUP BY label""",
         "ann_ivf_recall": _ivf_recall_sql(),
         "w6_turn_ordering_invariant": f"""
             SELECT conv_id, turn_idx,

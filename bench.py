@@ -62,6 +62,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_pii_redact",
     "kg_negative_samples",
+    "kg_link_pred_eval",
 ]
 
 
