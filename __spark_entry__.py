@@ -915,6 +915,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kg_negative_samples(e, n_neg=2)
 
+    def dedup_dup_spans(spark, sf):
+        # NEW r6: ExactSubstr-style duplicate-substring spans (Lee et al.
+        # 2022) — maximal 1-based half-open token ranges covered by
+        # corpus-repeated word 4-grams; the suffix-array pass expressed
+        # as one gram-keyed groupBy + per-doc island merge
+        # (operators/dedup.py duplicate_ngram_spans)
+        from omop_concept_automapper_spark.operators.dedup import (
+            duplicate_ngram_spans,
+        )
+
+        d = _t(spark, sf, "documents")
+        out = duplicate_ngram_spans(d, n=4, min_count=2)
+        return out.select(
+            "doc_id",
+            F.col("span_from").cast("long").alias("span_from"),
+            F.col("span_to").cast("long").alias("span_to"),
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        )
+
     def kg_link_pred_eval(spark, sf):
         # NEW r6: link-prediction evaluation harness (filtered TransE
         # protocol) — true edge per subject = nearest same-label vec_id,
@@ -1665,9 +1684,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code untouched this round, mirror-covered) ---
         "text_pii_detect": text_pii_detect,
         "text_pii_redact": text_pii_redact,
-        # --- NEW r6b: link-prediction eval (ann_topk_vec0 demotes — r5
-        # driver-green, untouched, mirror-covered) ---
+        # --- NEW r6b: link-prediction eval + duplicate-substring spans
+        # (ann_topk_vec0 + ann_knn_join demote — r5 driver-green,
+        # untouched, mirror-covered) ---
         "kg_link_pred_eval": kg_link_pred_eval,
+        "dedup_dup_spans": dedup_dup_spans,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1690,7 +1711,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "dedup_clusters": dedup_clusters_gate,
-        "ann_knn_join": ann_knn_join,
         "ann_ivf_approx": ann_ivf_approx,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -1702,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_gate,
         "chunk_manifest": chunk_manifest_gate,
         "ann_topk_vec0": ann_topk_vec0,
+        "ann_knn_join": ann_knn_join,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
@@ -2895,6 +2916,37 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_approx_sql(),
         "text_pii_detect": _pii_detect_sql(),
         "text_pii_redact": _pii_redact_sql(),
+        # ExactSubstr spans: gram-keyed count -> dup semi-join -> per-doc
+        # lag/least island merge; zipped unnest pairs each gram with its
+        # 1-based position
+        "dedup_dup_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                          WHERE text IS NOT NULL),
+            base AS (SELECT doc_id, len(t) AS tlen,
+                            {_gram_sql(4)} AS grams
+                     FROM toks),
+            g AS (SELECT doc_id, tlen,
+                         unnest(generate_series(1, len(grams))) AS pos,
+                         unnest(grams) AS gram
+                  FROM base),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(*) >= 2),
+            m AS (SELECT doc_id, tlen, pos FROM g JOIN dup USING (gram)),
+            fl AS (SELECT doc_id, pos, least(4, tlen) AS w,
+                          CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos)
+                               + least(4, tlen)
+                               THEN 1 ELSE 0 END AS newf
+                   FROM m),
+            isl AS (SELECT doc_id, pos, w,
+                           sum(newf) OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS island
+                    FROM fl)
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_from,
+                   CAST(max(pos) + max(w) AS BIGINT) AS span_to,
+                   CAST(count(*) AS BIGINT) AS n_dup_grams
+            FROM isl GROUP BY doc_id, island""",
         # filtered TransE protocol: true edge = nearest same-label vec,
         # negatives re-derive kg_negative_samples' 60-bit md5 slot draw,
         # rank read off a (score DESC NULLS LAST, candidate ASC) window

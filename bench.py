@@ -61,6 +61,7 @@ HEADLINE = [
     "freq_exact_quantiles",
     "text_tfidf_top_terms",
     "text_pii_redact",
+    "dedup_dup_spans",
     "kg_negative_samples",
     "kg_link_pred_eval",
 ]

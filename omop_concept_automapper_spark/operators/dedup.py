@@ -474,3 +474,92 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine_bp") >= int(threshold * 10000))
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    cross_doc: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring spans: per document, the maximal token
+    ranges covered by word n-grams that occur at least ``min_count``
+    times in the corpus (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — ExactSubstr, expressed relationally:
+    the suffix-array pass becomes a gram-keyed groupBy).
+
+    ``cross_doc=True`` counts DISTINCT documents per gram instead of
+    total occurrences, so within-doc repetition alone never marks a span.
+
+    Output: (id, span_from, span_to, n_dup_grams) with 1-based half-open
+    token ranges ``[span_from, span_to)`` — the slice a cleaning pass
+    cuts; overlapping/adjacent duplicated grams merge into one span.
+
+    Shape at scale (10^12 turns): the explode is O(total tokens) rows but
+    map-local; the gram count is ONE groupBy with map-side partial
+    aggregation (+1 distinct shuffle for cross_doc); the dup-gram set
+    joins back gram-keyed (AQE broadcasts it when small, as it is on real
+    corpora where duplicated grams are a thin tail); span merging is a
+    per-document window — bounded state, keyed by the uniform doc id.
+    Documents shorter than ``n`` tokens participate as one whole-text
+    gram (ngram_windows fallback) with span width = token count.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 1 or min_count < 2:
+        raise ValueError("need n >= 1 and min_count >= 2")
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        id_col, tokens_col(text_col).alias("_toks")
+    )
+    g = base.select(
+        id_col,
+        F.size("_toks").alias("_len"),
+        F.posexplode(ngram_windows(F.col("_toks"), n)).alias(
+            "_pos0", "_gram"
+        ),
+    ).select(
+        id_col,
+        "_len",
+        (F.col("_pos0") + 1).alias("_pos"),
+        "_gram",
+    )
+    if cross_doc:
+        dup = (
+            g.select("_gram", id_col)
+            .distinct()
+            .groupBy("_gram")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+    else:
+        dup = g.groupBy("_gram").agg(F.count(F.lit(1)).alias("_c"))
+    dup = dup.where(F.col("_c") >= min_count).select("_gram")
+    marked = g.join(dup, "_gram", "left_semi")
+    width = F.least(F.lit(n), F.col("_len"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    flagged = marked.select(
+        id_col,
+        "_pos",
+        width.alias("_w"),
+        F.when(
+            F.col("_pos") > F.lag("_pos").over(w) + width, 1
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        id_col,
+        "_pos",
+        "_w",
+        F.sum("_new").over(w).alias("_island"),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_pos").alias("span_from"),
+            (F.max("_pos") + F.max("_w")).alias("span_to"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .drop("_island")
+    )
