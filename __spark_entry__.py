@@ -334,6 +334,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("user_id", "event_id", "right_click_event_id")
 
+    def j11_interval_join(spark, sf):
+        # NEW r6: interval join as a bucket-keyed EQUI-join (explode
+        # intervals to covered buckets, residual half-open predicate) —
+        # every click inside [purchase_ts, +90min) of the same user;
+        # micros-exact via unix_micros/epoch_us (operators/rangejoin.py)
+        from omop_concept_automapper_spark.operators.rangejoin import (
+            interval_join,
+        )
+
+        e = _t(spark, sf, "events")
+        # ts is TIMESTAMP_NTZ; the session TZ is UTC, so casting to
+        # timestamp and taking unix_micros equals DuckDB's epoch_us on
+        # the same naive value
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        iv = e.where(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("iv_id"),
+            us.alias("s"),
+            (us + F.lit(5_400_000_000)).alias("en"),
+        )
+        pt = e.where(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("point_id"),
+            us.alias("p"),
+        )
+        out = interval_join(
+            pt, iv, "p", "s", "en", on=["user_id"],
+            bucket_width=3_600_000_000,
+        )
+        return out.select(
+            "user_id", "iv_id", "point_id", (F.col("p") - F.col("s")).alias("delta_us")
+        )
+
     def f_sample_hash(spark, sf):
         # deterministic hash sampling (~10%) — reproducible train/test
         # splits without rand(); md5-based so the oracle reproduces it
@@ -1689,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched, mirror-covered) ---
         "kg_link_pred_eval": kg_link_pred_eval,
         "dedup_dup_spans": dedup_dup_spans,
+        "j11_interval_join": j11_interval_join,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1710,7 +1744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the new freq/sample/khop gates — all four were
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
-        "dedup_clusters": dedup_clusters_gate,
         "ann_ivf_approx": ann_ivf_approx,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -1723,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": chunk_manifest_gate,
         "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
+        "dedup_clusters": dedup_clusters_gate,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
         "ann_knn_join_shuffled": ann_knn_join_shuffled,
@@ -2916,6 +2950,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_approx_sql(),
         "text_pii_detect": _pii_detect_sql(),
         "text_pii_redact": _pii_redact_sql(),
+        # interval join: the oracle is the plain inequality join the
+        # bucket-equi-join plan must reproduce exactly
+        "j11_interval_join": """
+            SELECT i.user_id, i.event_id AS iv_id,
+                   p.event_id AS point_id,
+                   epoch_us(p.ts) - epoch_us(i.ts) AS delta_us
+            FROM events i JOIN events p ON p.user_id = i.user_id
+            WHERE i.event_type = 'purchase' AND p.event_type = 'click'
+              AND epoch_us(p.ts) >= epoch_us(i.ts)
+              AND epoch_us(p.ts) < epoch_us(i.ts) + 5400000000""",
         # ExactSubstr spans: gram-keyed count -> dup semi-join -> per-doc
         # lag/least island merge; zipped unnest pairs each gram with its
         # 1-based position

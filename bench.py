@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_dup_spans",
     "kg_negative_samples",
     "kg_link_pred_eval",
+    "j11_interval_join",
 ]
 
 
