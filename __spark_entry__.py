@@ -1085,6 +1085,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", F.round(F.col("rank") * 1000000, 0).cast("long").alias("rank_ppm")
         )
 
+    def graph_label_prop(spark, sf):
+        # NEW r6: deterministic synchronous label propagation (4 rounds,
+        # most-frequent-neighbor label, ties -> smallest) over the
+        # co-order entity graph — the community-detection companion to
+        # cc_components (operators/graph_analytics.py label_propagation)
+        from omop_concept_automapper_spark.operators.graph_analytics import (
+            label_propagation,
+        )
+
+        return label_propagation(_coorder_pairs(spark, sf), iterations=4)
+
     def graph_triangles(spark, sf):
         # NEW r6: per-node triangle counts via degree-oriented wedge
         # enumeration (each triangle generated exactly once; orientation
@@ -1723,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_eval": kg_link_pred_eval,
         "dedup_dup_spans": dedup_dup_spans,
         "j11_interval_join": j11_interval_join,
+        "graph_label_prop": graph_label_prop,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1745,7 +1757,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "ann_ivf_approx": ann_ivf_approx,
-        "ann_lsh_bucketed": ann_lsh_bucketed,
         "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_bpeish_tokens": text_bpeish_tokens,
         "mixture_interleave": mixture_interleave_gate,
@@ -1756,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_manifest": chunk_manifest_gate,
         "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
+        "ann_lsh_bucketed": ann_lsh_bucketed,
         "dedup_clusters": dedup_clusters_gate,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
@@ -2407,6 +2419,33 @@ def _ivfpq_topk_sql() -> str:
         f"CAST(adc_dist AS BIGINT) AS adc_dist "
         f"FROM (VALUES {vals}) AS t(query_id, vec_id, rank, adc_dist)"
     )
+
+
+def _lpa_sql(iterations: int = 4) -> str:
+    """Unrolled synchronous label propagation over the co-order graph:
+    per round, (node, label) vote counts -> row_number arg-max
+    (count DESC, label ASC) -> left-join coalesce onto the previous
+    labels — the SQL twin of graph_analytics.label_propagation."""
+    ctes = ["l0 AS (SELECT v, v AS label FROM nodes)"]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""
+        v{k} AS (SELECT e.d AS v, lp.label, count(*) AS c
+                 FROM e JOIN l{k - 1} lp ON lp.v = e.s
+                 GROUP BY e.d, lp.label),
+        w{k} AS (SELECT v, label FROM (
+                   SELECT v, label, row_number() OVER (
+                     PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                   FROM v{k}) WHERE rn = 1),
+        l{k} AS (SELECT l.v, COALESCE(w.label, l.label) AS label
+                 FROM l{k - 1} l LEFT JOIN w{k} w ON w.v = l.v)""")
+    return f"""
+        WITH {_COORDER_PAIRS_SQL},
+        e AS (SELECT doc_id_1 AS s, doc_id_2 AS d FROM cpairs
+              UNION ALL SELECT doc_id_2, doc_id_1 FROM cpairs),
+        nodes AS (SELECT DISTINCT s AS v FROM e),
+        {", ".join(ctes)}
+        SELECT v AS node, CAST(label AS BIGINT) AS label
+        FROM l{iterations}"""
 
 
 def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
@@ -3145,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
             deg AS (SELECT v, count(*) AS degree FROM bidir GROUP BY v)
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""",
         "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
+        "graph_label_prop": _lpa_sql(iterations=4),
         "ann_pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),

@@ -65,6 +65,7 @@ HEADLINE = [
     "kg_negative_samples",
     "kg_link_pred_eval",
     "j11_interval_join",
+    "graph_label_prop",
 ]
 
 

@@ -297,3 +297,64 @@ def k_hop(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    iterations: int = 5,
+    checkpoint: bool = True,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected pair list, made DETERMINISTIC: every node
+    starts labeled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label.  The
+    async/random-order variant of the paper is layout-dependent —
+    synchronous rounds + total tie order make the output a pure function
+    of the graph, so an unrolled SQL oracle can reproduce it.
+
+    Returns (node, label) after ``iterations`` rounds.  Labels are node
+    ids (non-negative longs; the arg-max packs ``-label`` into a struct,
+    so Long.MIN_VALUE labels are out of contract).
+
+    Shape per round: one join (labels onto edge sources) and two keyed
+    aggregations — (node, label) vote counts with map-side partials, then
+    an arg-max per node via ``max(struct(count, -label))``, which stays a
+    partial-aggregable agg instead of a window sort.  Same lineage
+    truncation as ``pagerank``; hot nodes are bounded by their distinct
+    neighbor-label count, which propagation itself shrinks every round.
+    """
+    edges = _bidir(pairs, src, dst)
+    nodes = edges.select("src").distinct().select(F.col("src").alias("node"))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(iterations):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        winners = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("w")
+            )
+            .select("node", (-F.col("w.nl")).alias("_new_label"))
+        )
+        # left join keeps nodes with no in-neighbors when a caller passes
+        # a directed list (impossible after _bidir, but the primitive
+        # stays correct)
+        labels = labels.join(winners, "node", "left").select(
+            "node",
+            F.coalesce("_new_label", "label").alias("label"),
+        )
+        if checkpoint and (it + 1) % checkpoint_interval == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
