@@ -98,6 +98,16 @@ def detect_pii(
     )
 
 
+def scrub_documents(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus pre-stage: replace the text column with its redacted form,
+    all other columns untouched.  Compose ahead of assembly —
+    ``assemble_corpus(scrub_documents(docs), ...)`` — so no raw PII can
+    reach a packed chunk; still map-only, fused with the scan."""
+    return docs.withColumn(text_col, redact_pii(text_col))
+
+
 def n_pii(col: Column | str) -> Column:
     """Total PII match count in a text column (map-only, all types)."""
     total = None

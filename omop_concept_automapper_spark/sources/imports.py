@@ -122,3 +122,31 @@ def delete_vocabulary(table: Table, source_vocabulary_id: int) -> None:
 def export_mapped_csv(mapped: DataFrame, path: str) -> None:
     """S6: export the review join (small result) as a single CSV."""
     mapped.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+CORPUS_JSONL_SCHEMA = (
+    "chunk_id bigint, n_tokens bigint, text string"
+)
+
+
+def export_corpus_jsonl(chunks: DataFrame, path: str) -> None:
+    """Training-corpus handoff: one ``{"chunk_id", "n_tokens", "text"}``
+    JSON object per line (the format every trainer's data loader reads).
+
+    ``chunks`` is materialize_chunks/write_corpus_chunks output
+    (chunk_id, n_tokens, tokens array); tokens re-join with single
+    spaces — the same reversible rendering the pack_chunks gate pins.
+    The write keeps the incoming (uniform, chunk_id-keyed) partitioning:
+    one JSONL part file per partition, no single-writer bottleneck.
+    """
+    chunks.select(
+        "chunk_id",
+        "n_tokens",
+        F.concat_ws(" ", F.col("tokens")).alias("text"),
+    ).write.mode("overwrite").json(path)
+
+
+def read_corpus_jsonl(spark, path: str) -> DataFrame:
+    """Read the JSONL corpus back with the EXPLICIT schema — schema
+    inference is a full extra pass over 100 TB and can widen types."""
+    return spark.read.schema(CORPUS_JSONL_SCHEMA).json(path)
