@@ -367,6 +367,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "iv_id", "point_id", (F.col("p") - F.col("s")).alias("delta_us")
         )
 
+    def w7_scd2_snapshot(spark, sf):
+        # NEW r6: temporal-table semantics — change events become SCD2
+        # validity intervals (lead over the key's own history, event_id
+        # tie-break), then the as-of filter reads the state at an
+        # instant (operators/history.py)
+        from omop_concept_automapper_spark.operators.history import (
+            asof_snapshot,
+            scd2_intervals,
+        )
+
+        e = _t(spark, sf, "events")
+        hist = scd2_intervals(
+            e, keys=["user_id", "event_type"], ts_col="ts",
+            tie_cols=["event_id"],
+        )
+        at = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+        return asof_snapshot(hist, at).select(
+            "user_id", "event_type", "event_id",
+            "valid_from", "valid_to", "is_current",
+        )
+
     def f_sample_hash(spark, sf):
         # deterministic hash sampling (~10%) — reproducible train/test
         # splits without rand(); md5-based so the oracle reproduces it
@@ -1735,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dup_spans": dedup_dup_spans,
         "j11_interval_join": j11_interval_join,
         "graph_label_prop": graph_label_prop,
+        "w7_scd2_snapshot": w7_scd2_snapshot,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1757,7 +1779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "ann_ivf_approx": ann_ivf_approx,
-        "text_winnow_fingerprints": text_winnow_fingerprints,
         "text_bpeish_tokens": text_bpeish_tokens,
         "mixture_interleave": mixture_interleave_gate,
         "pack_chunks": pack_chunks_gate,  # scalar re-render r6 — needs row
@@ -1768,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_vec0": ann_topk_vec0,
         "ann_knn_join": ann_knn_join,
         "ann_lsh_bucketed": ann_lsh_bucketed,
+        "text_winnow_fingerprints": text_winnow_fingerprints,
         "dedup_clusters": dedup_clusters_gate,
         "dedup_exact": dedup_exact,
         "dedup_simhash": dedup_simhash,
@@ -2989,6 +3011,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_approx_sql(),
         "text_pii_detect": _pii_detect_sql(),
         "text_pii_redact": _pii_redact_sql(),
+        # SCD2: lead over each key's own history + the as-of containment
+        # filter
+        "w7_scd2_snapshot": """
+            WITH h AS (
+              SELECT user_id, event_type, event_id, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS valid_to
+              FROM events)
+            SELECT user_id, event_type, event_id, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM h
+            WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+              AND (valid_to IS NULL
+                   OR valid_to > TIMESTAMP '2024-01-15 00:00:00')""",
         # interval join: the oracle is the plain inequality join the
         # bucket-equi-join plan must reproduce exactly
         "j11_interval_join": """

@@ -66,6 +66,7 @@ HEADLINE = [
     "kg_link_pred_eval",
     "j11_interval_join",
     "graph_label_prop",
+    "w7_scd2_snapshot",
 ]
 
 
