@@ -367,6 +367,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "iv_id", "point_id", (F.col("p") - F.col("s")).alias("delta_us")
         )
 
+    def kg_sft_pairs(spark, sf):
+        # NEW r6: SFT pair assembly — every 'purchase' turn paired with a
+        # rendered window of its up-to-3 preceding same-conversation
+        # turns; one conversation-keyed rows-frame window, collect_list
+        # frame order pinned against DuckDB's windowed string_agg
+        # (operators/sft.py)
+        from omop_concept_automapper_spark.operators.sft import (
+            context_response_pairs,
+        )
+
+        e = _t(spark, sf, "events")
+        return context_response_pairs(
+            e,
+            conv_col="user_id",
+            order_cols=["ts", "event_id"],
+            role_col="event_type",
+            text_col="props",
+            response_role="purchase",
+            k=3,
+        ).select("user_id", "event_id", "context", "response",
+                 "n_context_turns")
+
     def w7_scd2_snapshot(spark, sf):
         # NEW r6: temporal-table semantics — change events become SCD2
         # validity intervals (lead over the key's own history, event_id
@@ -1757,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j11_interval_join": j11_interval_join,
         "graph_label_prop": graph_label_prop,
         "w7_scd2_snapshot": w7_scd2_snapshot,
+        "kg_sft_pairs": kg_sft_pairs,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1779,11 +1802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "ann_ivf_approx": ann_ivf_approx,
-        "text_bpeish_tokens": text_bpeish_tokens,
         "mixture_interleave": mixture_interleave_gate,
         "pack_chunks": pack_chunks_gate,  # scalar re-render r6 — needs row
         "corpus_assembly": corpus_assembly_gate,
         # --- demoted this round (driver-green r5, mirror-covered) ---
+        "text_bpeish_tokens": text_bpeish_tokens,
         "pack_sequences": pack_sequences_gate,
         "chunk_manifest": chunk_manifest_gate,
         "ann_topk_vec0": ann_topk_vec0,
@@ -3011,6 +3034,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_approx_sql(),
         "text_pii_detect": _pii_detect_sql(),
         "text_pii_redact": _pii_redact_sql(),
+        # SFT pairs: windowed string_agg frame order == Spark
+        # collect_list frame order (both follow the window's total order)
+        "kg_sft_pairs": """
+            WITH t AS (
+              SELECT user_id, event_id, ts, event_type, props,
+                     event_type || ': ' || props AS rendered
+              FROM events),
+            c AS (
+              SELECT user_id, event_id, event_type, props,
+                     COALESCE(string_agg(rendered, ' | ') OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                       '') AS context,
+                     CAST(count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+                       AS INTEGER) AS n_context_turns
+              FROM t)
+            SELECT user_id, event_id, context, props AS response,
+                   n_context_turns
+            FROM c
+            WHERE event_type = 'purchase' AND n_context_turns >= 1""",
         # SCD2: lead over each key's own history + the as-of containment
         # filter
         "w7_scd2_snapshot": """

@@ -67,6 +67,7 @@ HEADLINE = [
     "j11_interval_join",
     "graph_label_prop",
     "w7_scd2_snapshot",
+    "kg_sft_pairs",
 ]
 
 
