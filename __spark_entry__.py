@@ -1010,6 +1010,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
         )
 
+    def dedup_cut_spans(spark, sf):
+        # NEW r6: the ExactSubstr CLEANING pass — documents rebuilt with
+        # every duplicate-gram span cut out; one doc-keyed span fold +
+        # map-only indexed array filter (operators/dedup.py cut_spans)
+        from omop_concept_automapper_spark.operators.dedup import (
+            cut_spans,
+            duplicate_ngram_spans,
+        )
+
+        d = _t(spark, sf, "documents")
+        spans = duplicate_ngram_spans(d, n=4, min_count=2)
+        return cut_spans(d, spans)
+
     def kg_link_pred_eval(spark, sf):
         # NEW r6: link-prediction evaluation harness (filtered TransE
         # protocol) — true edge per subject = nearest same-label vec_id,
@@ -1780,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_prop": graph_label_prop,
         "w7_scd2_snapshot": w7_scd2_snapshot,
         "kg_sft_pairs": kg_sft_pairs,
+        "dedup_cut_spans": dedup_cut_spans,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1802,11 +1816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r5 and stay covered by the in-repo mirror)
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "ann_ivf_approx": ann_ivf_approx,
-        "mixture_interleave": mixture_interleave_gate,
         "pack_chunks": pack_chunks_gate,  # scalar re-render r6 — needs row
         "corpus_assembly": corpus_assembly_gate,
         # --- demoted this round (driver-green r5, mirror-covered) ---
         "text_bpeish_tokens": text_bpeish_tokens,
+        "mixture_interleave": mixture_interleave_gate,
         "pack_sequences": pack_sequences_gate,
         "chunk_manifest": chunk_manifest_gate,
         "ann_topk_vec0": ann_topk_vec0,
@@ -3034,6 +3048,51 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_approx_sql(),
         "text_pii_detect": _pii_detect_sql(),
         "text_pii_redact": _pii_redact_sql(),
+        # ExactSubstr cleaning: the span CTE chain (same as
+        # dedup_dup_spans) -> position anti-join -> ordered re-join;
+        # fully-cut docs coalesce to ''
+        "dedup_cut_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents
+                          WHERE text IS NOT NULL),
+            base AS (SELECT doc_id, len(t) AS tlen,
+                            {_gram_sql(4)} AS grams
+                     FROM toks),
+            g AS (SELECT doc_id, tlen,
+                         unnest(generate_series(1, len(grams))) AS pos,
+                         unnest(grams) AS gram
+                  FROM base),
+            dup AS (SELECT gram FROM g GROUP BY gram
+                    HAVING count(*) >= 2),
+            m AS (SELECT doc_id, tlen, pos FROM g JOIN dup USING (gram)),
+            fl AS (SELECT doc_id, pos, least(4, tlen) AS w,
+                          CASE WHEN pos > lag(pos) OVER (
+                                 PARTITION BY doc_id ORDER BY pos)
+                               + least(4, tlen)
+                               THEN 1 ELSE 0 END AS newf
+                   FROM m),
+            isl AS (SELECT doc_id, pos, w,
+                           sum(newf) OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS island
+                    FROM fl),
+            spansq AS (SELECT doc_id, min(pos) AS span_from,
+                              max(pos) + max(w) AS span_to
+                       FROM isl GROUP BY doc_id, island),
+            tokpos AS (SELECT doc_id,
+                              unnest(generate_series(1, len(t))) AS i,
+                              unnest(t) AS tok
+                       FROM toks),
+            kept AS (SELECT p.* FROM tokpos p
+                     WHERE NOT EXISTS (SELECT 1 FROM spansq s
+                       WHERE s.doc_id = p.doc_id
+                         AND s.span_from <= p.i AND p.i < s.span_to)),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY i) AS text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(a.text, '') AS text,
+                   CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT)
+                     AS n_tokens_cut
+            FROM toks t LEFT JOIN agg a USING (doc_id)""",
         # SFT pairs: windowed string_agg frame order == Spark
         # collect_list frame order (both follow the window's total order)
         "kg_sft_pairs": """

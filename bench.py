@@ -62,6 +62,7 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_pii_redact",
     "dedup_dup_spans",
+    "dedup_cut_spans",
     "kg_negative_samples",
     "kg_link_pred_eval",
     "j11_interval_join",

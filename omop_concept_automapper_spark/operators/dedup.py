@@ -563,3 +563,48 @@ def duplicate_ngram_spans(
         )
         .drop("_island")
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ``duplicate_ngram_spans`` output: rebuild each document's
+    text with every marked token range cut out (the ExactSubstr cleaning
+    pass).  Documents with no spans pass through unchanged; a document
+    entirely covered becomes the empty string.
+
+    Returns (id, text, n_tokens_cut).  Which occurrences get marked is
+    the span producer's policy (``cross_doc``/``min_count``); this
+    consumer removes exactly what was marked.
+
+    Shape: ONE doc-keyed shuffle folds the spans into a per-doc array
+    (bounded: spans are maximal, so there are at most
+    n_tokens/(2*gram_n) of them); the cut itself is a map-only array
+    filter over token positions — the token stream never leaves its row.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_from"), F.col("span_to"))
+        ).alias("_spans")
+    )
+    toks = tokens_col(text_col)
+    joined = docs.where(F.col(text_col).isNotNull()).join(
+        per_doc, id_col, "left"
+    )
+    pos_keep = lambda i: F.size(
+        F.filter(
+            F.col("_spans"),
+            lambda s: (s["span_from"] <= i) & (i < s["span_to"]),
+        )
+    ) == 0
+    kept = F.when(F.col("_spans").isNull(), toks).otherwise(
+        F.filter(toks, lambda t, i: pos_keep(i + 1))
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_cut"),
+    )

@@ -114,3 +114,60 @@ def test_against_reference_fuzz(spark, cross_doc):
     ]
     got = _spans(spark, texts, n=3, min_count=2, cross_doc=cross_doc)
     assert got == _ref(texts, 3, 2, cross_doc)
+
+
+def test_cut_spans_hand_case(spark):
+    from omop_concept_automapper_spark.operators.dedup import cut_spans
+
+    texts = [
+        "alpha beta gamma delta unique1 tail1",
+        "prefix2 alpha beta gamma delta tail2",
+        "no duplicates in this one here",
+    ]
+    docs = _docs(spark, texts)
+    spans = duplicate_ngram_spans(docs, n=4, min_count=2)
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_cut"])
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert out[0] == ("unique1 tail1", 4)
+    assert out[1] == ("prefix2 tail2", 4)
+    assert out[2] == ("no duplicates in this one here", 0)
+
+
+def test_cut_spans_fully_covered_doc(spark):
+    from omop_concept_automapper_spark.operators.dedup import cut_spans
+
+    texts = ["a b c d", "a b c d"]
+    docs = _docs(spark, texts)
+    spans = duplicate_ngram_spans(docs, n=4, min_count=2)
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_cut"])
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert out == {0: ("", 4), 1: ("", 4)}
+
+
+def test_cut_matches_span_token_counts(spark):
+    from omop_concept_automapper_spark.operators.dedup import cut_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 25)))
+        for _ in range(30)
+    ]
+    docs = _docs(spark, texts)
+    spans = duplicate_ngram_spans(docs, n=3, min_count=2)
+    per_doc_cut = {}
+    for d, f, t, _ in sorted(
+        (r["doc_id"], r["span_from"], r["span_to"], r["n_dup_grams"])
+        for r in spans.collect()
+    ):
+        per_doc_cut[d] = per_doc_cut.get(d, 0) + (t - f)
+    got = {
+        r["doc_id"]: r["n_tokens_cut"]
+        for r in cut_spans(docs, spans).collect()
+    }
+    for d in got:
+        assert got[d] == per_doc_cut.get(d, 0)
