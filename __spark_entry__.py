@@ -889,6 +889,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "n", [2500, 5000, 9000, 9900, 10000], group_cols=["grp"]
         )
 
+    def freq_winsorize(spark, sf):
+        # NEW r6: exact-quantile winsorization — token counts clipped to
+        # their per-group [p1, p99]; bounds ride exact_quantiles, the
+        # clip is a broadcast join + map-only projection
+        # (operators/freq.py winsorize)
+        from omop_concept_automapper_spark.functions.text import token_count
+        from omop_concept_automapper_spark.operators.freq import winsorize
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 3).alias("grp"),
+            token_count("text").cast("long").alias("n"),
+        )
+        return winsorize(d, "n", 100, 9900, group_cols=["grp"])
+
     def text_tfidf_top_terms(spark, sf):
         # NEW r6: rational tf-idf keyword extraction — score = tf*1e6 DIV
         # df, pure integer arithmetic so the oracle is bit-identical;
@@ -1761,7 +1776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_runner_resume_edges": st1_runner_resume_edges,
         "kg_pipeline_edges": kg_pipeline_edges,
         "kg_concept_comention": kg_concept_comention,
-        "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
         # --- NEW r6: graph analytics / decontamination / repetition ---
         "graph_degrees": graph_degrees,
         "graph_pagerank": graph_pagerank,
@@ -1794,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_scd2_snapshot": w7_scd2_snapshot,
         "kg_sft_pairs": kg_sft_pairs,
         "dedup_cut_spans": dedup_cut_spans,
+        "freq_winsorize": freq_winsorize,
         # --- rotated IN (last driver row r2/r3 — refresh the union) ---
         "p2_class_exclusion_filter": p2_class_exclusion_filter,
         "p6_regex_extract_events": p6_regex_extract_events,
@@ -1821,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- demoted this round (driver-green r5, mirror-covered) ---
         "text_bpeish_tokens": text_bpeish_tokens,
         "mixture_interleave": mixture_interleave_gate,
+        "dedup_lsh_pairs": dedup_lsh_pairs,
+        "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
         "pack_sequences": pack_sequences_gate,
         "chunk_manifest": chunk_manifest_gate,
         "ann_topk_vec0": ann_topk_vec0,
@@ -3388,6 +3405,39 @@ def oracle_sql() -> dict[str, str]:
                  AS q(q_bp)
             WHERE n_le * 10000 >= q.q_bp * n_total
               AND (n_le - c) * 10000 < q.q_bp * n_total""",
+        # winsorize: the freq_exact_quantiles selection at (p1, p99)
+        # folded to per-group bounds, then a pure CASE clip
+        "freq_winsorize": """
+            WITH toks AS (
+              SELECT doc_id, (doc_id % 3) AS grp,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n
+              FROM documents),
+            dist AS (SELECT grp, n, count(*) AS c FROM toks
+                     WHERE n IS NOT NULL GROUP BY grp, n),
+            cum AS (SELECT grp, n, c,
+                    CAST(sum(c) OVER (PARTITION BY grp ORDER BY n)
+                         AS BIGINT) AS n_le,
+                    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT)
+                      AS n_total
+                    FROM dist),
+            sel AS (SELECT grp, q.q_bp, n
+                    FROM cum, (VALUES (100), (9900)) AS q(q_bp)
+                    WHERE n_le * 10000 >= q.q_bp * n_total
+                      AND (n_le - c) * 10000 < q.q_bp * n_total),
+            b AS (SELECT grp,
+                         min(CASE WHEN q_bp = 100 THEN n END) AS lo,
+                         min(CASE WHEN q_bp = 9900 THEN n END) AS hi
+                  FROM sel GROUP BY grp)
+            SELECT t.doc_id, t.grp, t.n,
+                   CASE WHEN t.n < b.lo THEN b.lo
+                        WHEN t.n > b.hi THEN b.hi
+                        ELSE t.n END AS n_wins,
+                   CAST(CASE WHEN t.n < b.lo THEN -1
+                             WHEN t.n > b.hi THEN 1
+                             ELSE 0 END AS INTEGER) AS _clipped
+            FROM toks t JOIN b USING (grp)""",
         "text_tfidf_top_terms": f"""
             WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term
                          FROM documents WHERE text IS NOT NULL),

@@ -320,3 +320,58 @@ def tfidf_top_terms(
         .where(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "term_rank")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_bp: int = 100,
+    hi_bp: int = 9900,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Clip an integral column to its exact per-group [lo_bp, hi_bp]
+    quantiles (winsorization — the standard outlier guard before a
+    numeric column feeds a quality score or a training-mixture weight).
+
+    Adds ``<value_col>_wins`` (the clipped value) and ``_clipped``
+    (-1 below / 0 inside / 1 above).  NULL values pass through unclipped
+    (quantiles exclude them, mirroring SQL percentile semantics).
+
+    Scale shape: the bounds ride :func:`exact_quantiles` (distribution
+    aggregation + two-phase running total — no single-task stage); the
+    clip itself is a broadcast join of the tiny per-group bounds frame
+    followed by a map-only projection.
+    """
+    if not (0 < lo_bp <= hi_bp <= 10000):
+        raise ValueError("need 0 < lo_bp <= hi_bp <= 10000")
+    group_cols = group_cols or []
+    q = exact_quantiles(df, value_col, [lo_bp, hi_bp], group_cols)
+    bounds = (
+        q.groupBy(*group_cols)
+        .agg(
+            F.min(
+                F.when(F.col("q_bp") == lo_bp, F.col(value_col))
+            ).alias("_lo"),
+            F.min(
+                F.when(F.col("q_bp") == hi_bp, F.col(value_col))
+            ).alias("_hi"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col)
+    return joined.select(
+        *df.columns,
+        F.when(v < F.col("_lo"), F.col("_lo"))
+        .when(v > F.col("_hi"), F.col("_hi"))
+        .otherwise(v)
+        .alias(f"{value_col}_wins"),
+        F.when(v < F.col("_lo"), F.lit(-1))
+        .when(v > F.col("_hi"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("_clipped"),
+    )

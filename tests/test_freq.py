@@ -361,3 +361,53 @@ def test_tfidf_validation(spark):
         tfidf_top_terms(df, "doc_id", F.split(F.col("text"), " "), k=0)
     with pytest.raises(ValueError):
         tfidf_top_terms(df, "doc_id", F.split(F.col("text"), " "), k=1, scale=0)
+
+
+def test_winsorize_matches_exact_reference(spark):
+    from omop_concept_automapper_spark.operators.freq import winsorize
+
+    rng = random.Random(5)
+    rows = [("g" + str(i % 2), rng.randrange(0, 1000)) for i in range(400)]
+    rows += [("g0", 10**6), ("g1", -(10**6))]  # extreme outliers
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = winsorize(df, "v", 500, 9500, group_cols=["g"]).collect()
+
+    import math
+
+    def disc(vals, bp):
+        s = sorted(vals)
+        n = len(s)
+        # smallest v with count(<= v) * 10000 >= bp * n
+        return s[math.ceil(bp * n / 10000) - 1]
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    bounds = {
+        g: (disc(vs, 500), disc(vs, 9500)) for g, vs in by_g.items()
+    }
+    for r in out:
+        lo, hi = bounds[r["g"]]
+        want = min(max(r["v"], lo), hi)
+        assert r["v_wins"] == want
+        assert r["_clipped"] == (-1 if r["v"] < lo else 1 if r["v"] > hi else 0)
+    # the extremes really got clipped
+    clipped = [r for r in out if r["_clipped"] != 0]
+    assert len(clipped) >= 2
+
+
+def test_winsorize_null_passthrough_and_validation(spark):
+    from omop_concept_automapper_spark.operators.freq import winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", None)], "g string, v long"
+    )
+    out = {
+        (r["g"], r["v"]): (r["v_wins"], r["_clipped"])
+        for r in winsorize(df, "v", 2500, 7500, ["g"]).collect()
+    }
+    assert out[("a", None)] == (None, 0)
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0, 9000)
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 9000, 100)
