@@ -256,3 +256,27 @@ def test_star_canonicalization_plan_shape(spark):
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_r6b_gates_plan_shapes(spark):
+    """The r6b operator gates keep their designed shuffle budgets at
+    sf0.001: SFT pairs and SCD2 are ONE conversation/entity-keyed
+    exchange; duplicate-span detection never collapses to a single
+    partition; nothing plans a nested-loop join."""
+    import re
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {
+        "kg_sft_pairs": 1,
+        "w7_scd2_snapshot": 1,
+        "dedup_dup_spans": 3,
+        "j11_interval_join": 3,
+    }
+    for name, max_hash_exchanges in budgets.items():
+        df = entry_mod.queries()[name](spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n <= max_hash_exchanges, (name, n, max_hash_exchanges)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
