@@ -61,6 +61,8 @@ HEADLINE = [
     "freq_exact_quantiles",
     "text_tfidf_top_terms",
     "text_pii_redact",
+    "text_pii_detect",
+    "freq_winsorize",
     "dedup_dup_spans",
     "dedup_cut_spans",
     "kg_negative_samples",
