@@ -334,6 +334,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("user_id", "event_id", "right_click_event_id")
 
+    def j10_asof_forward(spark, sf):
+        # NEW r6: forward as-of — each 'error' event gets the EARLIEST
+        # following-or-equal 'click' of the same user (the direction seam
+        # closed this round: same merged-ordering scan, run descending)
+        from omop_concept_automapper_spark.operators.asof import asof_join
+
+        e = _t(spark, sf, "events")
+        errors = e.where(F.col("event_type") == "error").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = (
+            e.where(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_id").alias("click_event_id"))
+        )
+        out = asof_join(
+            errors, clicks, on=["user_id"], ts_col="ts",
+            right_payload=["click_event_id"], direction="forward",
+        )
+        return out.select("user_id", "event_id", "right_click_event_id")
+
     def j11_interval_join(spark, sf):
         # NEW r6: interval join as a bucket-keyed EQUI-join (explode
         # intervals to covered buckets, residual half-open predicate) —
@@ -1858,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_customers_without_orders": j1_customers_without_orders,
         "j2_nation_revenue": j2_nation_revenue,
         "j10_asof_join": j10_asof_join,
+        "j10_asof_forward": j10_asof_forward,
         "w1_top3_orders_per_customer": w1_top3_orders_per_customer,
         # ---------------- position >50: long-stable, mirror-covered ----
         "ann_knn_join_qsliced": ann_knn_join_qsliced,
@@ -2685,6 +2707,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.user_id, e.event_id, c.click_event_id AS right_click_event_id
             FROM errors e ASOF LEFT JOIN clicks c
               ON e.user_id = c.user_id AND e.ts >= c.ts""",
+        # forward as-of: the identical merged-ordering scan run
+        # descending; the oracle flips the ASOF comparison
+        "j10_asof_forward": """
+            WITH errors AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+            clicks AS (
+              SELECT user_id, ts, MIN(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT e.user_id, e.event_id, c.click_event_id AS right_click_event_id
+            FROM errors e ASOF LEFT JOIN clicks c
+              ON e.user_id = c.user_id AND e.ts <= c.ts""",
         "f_sample_hash": """
             SELECT o_orderkey, o_orderstatus FROM orders
             WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100 < 10""",

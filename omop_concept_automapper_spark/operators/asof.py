@@ -1,4 +1,5 @@
-"""As-of (nearest-prior) join — a time-series operator Spark lacks natively.
+"""As-of (nearest-prior / nearest-following) join — a time-series operator
+Spark lacks natively.
 
 Implemented as a composition of built-in DataFrame ops (the preferred
 strategy for custom operators): tag both sides, union them, and take the
@@ -7,9 +8,13 @@ window ``last`` over the merged ordering.  One shuffle on (keys, ts) —
 same cost as a sort-merge join, no UDF, whole-stage codegen applies.
 
 Semantics: for every left row, the right row with the greatest
-``ts <= left.ts`` within the same key group; at equal timestamps the right
-row matches (<=), pinned so the DuckDB ASOF-join oracle agrees.  Left rows
-with no prior right row get NULLs (left-outer as-of).
+``ts <= left.ts`` (``backward``) or the smallest ``ts >= left.ts``
+(``forward``) within the same key group; at equal timestamps the right
+row matches in BOTH directions, pinned so the DuckDB oracle agrees.
+``forward`` is the identical merged-ordering scan run descending — right
+rows still sort ahead of left rows at equal timestamps, so the inclusive
+bound costs nothing extra.  Left rows with no match get NULLs
+(left-outer as-of).
 """
 
 from __future__ import annotations
@@ -33,8 +38,8 @@ def asof_join(
     match among same-timestamp rows is nondeterministic.  Output: all left
     columns + ``right_<c>`` for each payload column.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward (nearest-prior) supported")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
 
     l_payload = [c for c in left.columns if c not in on and c != ts_col]
     left_types = dict(left.dtypes)
@@ -58,9 +63,10 @@ def asof_join(
         F.lit(None).cast(right_struct_type).alias("_r"),
         *[F.col(c) for c in l_payload],
     )
+    ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.asc("_ts"), F.asc("_is_left"))
+        .orderBy(ts_order, F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = r_side.unionByName(l_side).withColumn(
