@@ -910,6 +910,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "n", [2500, 5000, 9000, 9900, 10000], group_cols=["grp"]
         )
 
+    def text_bpe_merges(spark, sf):
+        # NEW r6: distributed BPE merge learning over the transcripts
+        # fixture (sf-independent, like the kg golden gates) — corpus
+        # compresses once into (word, freq), each round is one pair-keyed
+        # groupBy + O(1) driver argmax + map-only merge fold
+        # (operators/bpe.py); oracle = golden VALUES from the sequential
+        # twin
+        from omop_concept_automapper_spark.fixtures.transcripts import (
+            transcripts_dataframe,
+        )
+        from omop_concept_automapper_spark.operators.bpe import (
+            learn_bpe_merges,
+            merges_df,
+        )
+
+        docs = transcripts_dataframe(spark, n_conversations=40).select(
+            "text"
+        )
+        return merges_df(spark, learn_bpe_merges(docs, n_merges=25))
+
     def freq_winsorize(spark, sf):
         # NEW r6: exact-quantile winsorization — token counts clipped to
         # their per-group [p1, p99]; bounds ride exact_quantiles, the
@@ -1844,7 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_lag_delta": w3_lag_delta,
         "w4_rolling_sum": w4_rolling_sum,
         "f_scalar_pack": f_scalar_pack,
-        "f_levenshtein": f_levenshtein,
+        "text_bpe_merges": text_bpe_merges,
         # --- dedup / ANN / text / packing core ---
         # (dedup_exact, dedup_simhash, ann_knn_join_shuffled,
         # text_quality_metrics demoted below the window this round to make
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_assembly": corpus_assembly_gate,
         # --- demoted this round (driver-green r5, mirror-covered) ---
         "text_bpeish_tokens": text_bpeish_tokens,
+        "f_levenshtein": f_levenshtein,
         "mixture_interleave": mixture_interleave_gate,
         "dedup_lsh_pairs": dedup_lsh_pairs,
         "w6_turn_ordering_invariant": w6_turn_ordering_invariant,
@@ -2516,6 +2537,33 @@ def _ivfpq_topk_sql() -> str:
         f"CAST(rank AS INTEGER) AS rank, "
         f"CAST(adc_dist AS BIGINT) AS adc_dist "
         f"FROM (VALUES {vals}) AS t(query_id, vec_id, rank, adc_dist)"
+    )
+
+
+def _bpe_sql(n_conversations: int = 40, n_merges: int = 25) -> str:
+    """Golden BPE merge table from the sequential twin
+    (operators/bpe.py sequential_bpe_merges) over the deterministic
+    transcripts fixture — sf-independent, like the kg golden gates."""
+    from omop_concept_automapper_spark.fixtures.transcripts import (
+        generate_transcript_rows,
+    )
+    from omop_concept_automapper_spark.operators.bpe import (
+        sequential_bpe_merges,
+    )
+
+    texts = [r[3] for r in generate_transcript_rows(n_conversations)]
+    rows = sequential_bpe_merges(texts, n_merges)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({rank}, {q(l)}, {q(r)}, {c})" for rank, l, r, c in rows
+    )
+    return (
+        f"SELECT CAST(rank AS INTEGER) AS rank, \"left\", \"right\", "
+        f"CAST(pair_count AS BIGINT) AS pair_count "
+        f'FROM (VALUES {vals}) AS t(rank, "left", "right", pair_count)'
     )
 
 
@@ -3375,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""",
         "graph_pagerank": _pagerank_sql(iterations=5, damping=0.85),
         "graph_label_prop": _lpa_sql(iterations=4),
+        "text_bpe_merges": _bpe_sql(n_conversations=40, n_merges=25),
         "ann_pq_codes": _pq_codes_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),

@@ -63,6 +63,7 @@ HEADLINE = [
     "text_pii_redact",
     "text_pii_detect",
     "freq_winsorize",
+    "text_bpe_merges",
     "dedup_dup_spans",
     "dedup_cut_spans",
     "kg_negative_samples",

@@ -1,0 +1,166 @@
+"""Distributed BPE merge learning: induce a tokenizer's merge table from
+the corpus (Sennrich et al. 2016) — the training-data op that turns raw
+text into the vocabulary every downstream token count assumes.
+
+The industrial-scale shape: the corpus compresses ONCE into a distinct
+(word, freq) table — one shuffle over the raw tokens, after which every
+merge round touches only that table, whose size is the corpus's distinct
+word count (bounded ~10^7 on real text), not its token count.  Per round:
+
+1. adjacent symbol pairs explode from each word's symbol array, weighted
+   by word freq — map-only transform + ONE pair-keyed groupBy with
+   map-side partials;
+2. the arg-max pair comes to the driver as a single row (O(1) driver
+   data); ties break (count DESC, left ASC, right ASC), so the whole
+   merge table is a pure function of the corpus — the sequential twin
+   reproduces it symbol for symbol;
+3. the merge applies map-only: a left-to-right non-overlapping fold over
+   each word's symbol array (JVM ``aggregate`` with a (out, just_merged)
+   struct accumulator — standard BPE "aaa"+(a,a) -> (aa, a) semantics);
+   the word table is eagerly localCheckpoint-ed so round k costs one job,
+   not k re-derivations.
+
+Learning stops early when the best pair's weighted count drops below
+``min_count`` (default 2 — merging singleton pairs adds vocabulary
+without compression).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from omop_concept_automapper_spark.operators.dedup import tokens_col
+
+
+def _adjacent_pairs(s: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.size(s) - 1),
+        lambda i: F.struct(
+            F.element_at(s, i).alias("l"),
+            F.element_at(s, i + 1).alias("r"),
+        ),
+    )
+
+
+def _merge_pair(s: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (left,
+    right) symbols with their concatenation."""
+    merged = F.lit(left + right)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("m"),
+    )
+
+    def step(acc, x):
+        can = (
+            (~acc["m"])
+            & (F.size(acc["out"]) > 0)
+            & (F.element_at(acc["out"], -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        new_out = F.when(
+            can,
+            F.concat(
+                F.slice(acc["out"], F.lit(1), F.size(acc["out"]) - 1),
+                F.array(merged),
+            ),
+        ).otherwise(F.concat(acc["out"], F.array(x)))
+        return F.struct(new_out.alias("out"), can.alias("m"))
+
+    return F.aggregate(s, init, step, lambda acc: acc["out"])
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges over the corpus.
+
+    Returns ``[(rank, left, right, pair_count), ...]`` — a driver-side
+    list because the merge table IS driver state (it is consulted
+    sequentially and is at most ``n_merges`` rows); persist it with
+    ``merges_df`` for lineage.  Words are lowercased whitespace tokens
+    (``tokens_col`` semantics); symbols start as single characters.
+    """
+    if n_merges < 1 or min_count < 1:
+        raise ValueError("need n_merges >= 1 and min_count >= 1")
+    words = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens_col(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.split("w", "").alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.where(F.size("s") >= 2)
+            .select("freq", F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_count:
+            break
+        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, l, r, c))
+        words = words.select(
+            "freq", _merge_pair(F.col("s"), l, r).alias("s")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def sequential_bpe_merges(
+    texts: list[str], n_merges: int, min_count: int = 2
+) -> list[tuple[int, str, str, int]]:
+    """Pure-Python twin of :func:`learn_bpe_merges` — the golden oracle
+    and the property-test reference.  Same word semantics, same
+    (count DESC, left, right) tie order, same non-overlapping merge."""
+    words = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.lower().split():
+            words[w] += 1
+    syms = {w: list(w) for w in words}
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, s in syms.items():
+            f = words[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        out.append((rank, l, r, int(c)))
+        for w, s in syms.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+    return out
