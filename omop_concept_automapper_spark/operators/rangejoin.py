@@ -52,16 +52,21 @@ def interval_join(
     w = int(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
+
+    def fdiv(col):
+        # integer FLOOR division: (x - pmod(x, w)) DIV w stays in 64-bit
+        # arithmetic (F.floor(x / w) rounds through a double and loses
+        # exactness past 2^53 — e.g. nanosecond-epoch domains), and pmod
+        # keeps the floor semantics for negative coordinates
+        return F.expr(f"(({col} - pmod({col}, {w})) DIV {w})")
+
     iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "_bkt",
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / w),
-                F.floor((F.col(end_col) - 1) / w),
-            )
+            F.sequence(fdiv(start_col), fdiv(f"({end_col} - 1)")),
         ),
     )
-    pt = points.withColumn("_bkt", F.floor(F.col(point_col) / w))
+    pt = points.withColumn("_bkt", fdiv(point_col))
     cond = (
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) < F.col(end_col))

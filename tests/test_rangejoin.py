@@ -105,3 +105,20 @@ def test_validation(spark):
     _, _, p, iv = _frames(spark)
     with pytest.raises(ValueError):
         interval_join(p, iv, "p", "s", "en", bucket_width=0)
+
+
+def test_negative_and_large_domains_stay_exact(spark):
+    # negative coordinates use floor (not truncate-toward-zero) buckets,
+    # and values past 2^53 stay exact (integer bucket arithmetic)
+    big = 1 << 60
+    p = spark.createDataFrame(
+        [(1, -5), (2, -15), (3, big + 3)], "point_id long, p long"
+    )
+    iv = spark.createDataFrame(
+        [(1, -20, -1), (2, big, big + 10)], "iv_id long, s long, en long"
+    )
+    got = sorted(
+        (r["iv_id"], r["point_id"])
+        for r in interval_join(p, iv, "p", "s", "en", bucket_width=7).collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 3)]
