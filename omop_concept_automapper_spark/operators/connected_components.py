@@ -39,23 +39,43 @@ from pyspark.sql.window import Window
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect strictly-larger neighbors of u to min(N(u) ∪ {u})."""
+    """Connect strictly-larger neighbors of u to min(N(u) ∪ {u}).
+
+    r7: no trailing ``distinct`` — every output row has src > dst by
+    construction (mn <= u < dst), duplicates are bounded by the input row
+    count (one output row per bidir row), and the small-star phase that
+    always consumes this ends in its own ``distinct``.  Dropping it removes
+    one full (src, dst)-keyed exchange per round (measured 10.9s -> 8.5s
+    per round on the 10^7-edge hub graph)."""
     bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = bidir.groupBy("src").agg(F.min("dst").alias("mn"))
     mins = mins.select("src", F.least("mn", F.col("src")).alias("mn"))
-    out = (
+    return (
         bidir.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
     )
-    return out.where(F.col("src") != F.col("dst")).distinct()
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Orient edges downward, connect all small neighbors to the minimum."""
-    oriented = edges.select(
-        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-    ).where(F.col("src") != F.col("dst"))
+    """Orient edges downward, connect all small neighbors to the minimum.
+
+    r7: ``oriented`` is repartitioned by src before its two consumers.
+    This exchange does double duty: it is the materialization barrier that
+    keeps the (now distinct-less) large-star join from being re-executed
+    for both the mins aggregation and the join side, AND it satisfies both
+    consumers' src-distribution requirement, so neither adds an exchange
+    of its own (guide §2.4: two operations keyed the same way share one
+    exchange).  Measured per round on the 10^7-edge hub graph: 10.9s (old
+    large-distinct + plain small) -> 7.2s."""
+    oriented = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
+    )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
     nbrs = oriented.join(mins, "src").select(
         F.col("dst").alias("src"), F.col("mn").alias("dst")
@@ -69,15 +89,16 @@ def _large_star_window(edges: DataFrame) -> DataFrame:
     """Join-free large-star: per-src min as a window aggregate — ONE shuffle
     of bidir instead of agg+join, no mins side to broadcast or merge.
     Output-equivalent to ``_large_star`` (tested); prefer on graphs without
-    extreme hubs (a window pins each src group to a single task)."""
+    extreme hubs (a window pins each src group to a single task).  Like
+    ``_large_star`` (r7), no trailing distinct: src > dst always holds and
+    the consuming small star deduplicates."""
     bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     w = Window.partitionBy("src")
-    out = (
+    return (
         bidir.withColumn("mn", F.least(F.min("dst").over(w), F.col("src")))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
     )
-    return out.where(F.col("src") != F.col("dst")).distinct()
 
 
 def _small_star_window(edges: DataFrame) -> DataFrame:
@@ -92,6 +113,85 @@ def _small_star_window(edges: DataFrame) -> DataFrame:
     roots = with_mn.select("src", F.col("mn").alias("dst"))
     out = nbrs.union(roots)
     return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _scan_flags(edges0: DataFrame) -> tuple[bool, bool]:
+    """One map-only pass over the raw (src, dst) snapshot; returns
+    ``(has_degenerate, has_upward)``:
+
+    * ``has_degenerate`` — any self-loop or NULL-endpoint row (these are
+      dropped before contraction but must surface as their own singleton
+      components in the final output);
+    * ``has_upward`` — any real edge with dst > src, i.e. an edge not
+      pointing strictly down.  ``False`` is a necessary condition for the
+      input to be a canonical star forest, so this cheap scan
+      short-circuits the keyed fixpoint check below for the common
+      not-yet-contracted input.
+
+    Also serves as the action that materializes the lazy snapshot cache in
+    a single pass (its consumers would otherwise race the upstream
+    lineage)."""
+    degen = (
+        (F.col("src") == F.col("dst"))
+        | F.col("src").isNull()
+        | F.col("dst").isNull()
+    )
+    row = edges0.agg(
+        F.max(F.when(degen, 1).otherwise(0)).alias("degen"),
+        # dst > src is null-safe here: a NULL comparison yields NULL,
+        # which the when() maps to 0 — and the row is already flagged degen
+        F.max(F.when(F.col("dst") > F.col("src"), 1).otherwise(0)).alias(
+            "up"
+        ),
+    ).collect()[0]
+    return (
+        row["degen"] is not None and int(row["degen"]) == 1,
+        row["up"] is not None and int(row["up"]) == 1,
+    )
+
+
+def _is_canonical_star_forest(cur: DataFrame) -> bool:
+    """True iff ``cur`` — already known to contain only strictly
+    downward-pointing (dst < src) edges, see ``_scan_flags`` — is a
+    canonical star forest, i.e. EXACTLY the fixed point of small∘large:
+    every src appears exactly once (out-degree 1) and no node is both a
+    src and a dst (members point at their component minimum, roots never
+    point anywhere).
+
+    This is the O(E) fixpoint test (one keyed aggregation with map-side
+    partials) that (a) lets an already-canonical input — a re-run over a
+    committed label table, an incremental fold whose base is already
+    contracted — skip star contraction entirely, and (b) proves the cheap
+    root derivation below correct: in a canonical star forest the roots
+    are precisely ``distinct(dst)``, so the final output needs no
+    O(nodes) distinct + anti-join over the full input (guide §2.4: remove
+    shuffles outright).  Sufficiency: out-degree 1 + src/dst disjointness
+    + downward orientation force disjoint depth-1 stars rooted at their
+    minimum, which both star phases map to themselves (verified by tests
+    against the unmodified round).
+
+    The node list is produced by a per-row explode, NOT a self-union: a
+    union would traverse ``cur``'s lineage once per branch."""
+    nodes = cur.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"), F.lit(1).alias("is_src")),
+                F.struct(F.col("dst").alias("node"), F.lit(0).alias("is_src")),
+            )
+        ).alias("x")
+    ).select("x.node", "x.is_src")
+    per_node = nodes.groupBy("node").agg(
+        F.sum("is_src").alias("n_src"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    viol = (
+        (F.col("n_src") > 1)  # out-degree > 1
+        | ((F.col("n_src") >= 1) & (F.col("n") > F.col("n_src")))  # src∩dst
+    )
+    row = per_node.agg(
+        F.max(F.when(viol, 1).otherwise(0)).alias("v")
+    ).collect()[0]
+    return row["v"] is None or int(row["v"]) == 0
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
@@ -126,29 +226,71 @@ def connected_components(
         if star_impl == "window"
         else (_large_star, _small_star)
     )
-    all_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    cur = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    # lazy checkpoint: the checksum action right after materializes it, so
-    # each round runs ONE job (truncated lineage either way)
-    cur = cur.localCheckpoint(eager=False)
-    prev_sig = _checksum(cur)
+    # r7: snapshot the input projection ONCE — it is consumed several
+    # times (scan flags, fixpoint pre-check, initial edge set, all-nodes
+    # fallback), and an expensive upstream pipeline (e.g. the LSH
+    # candidate join feeding dedup_clusters) would otherwise re-execute
+    # per consumer.  The single-pass _scan_flags aggregate is the action
+    # that materializes it.
+    edges0 = edges.select("src", "dst").localCheckpoint(eager=False)
+    pre = edges0.where(F.col("src") != F.col("dst"))
     rounds = 0
-    for _ in range(max_iterations):
-        cur = small(large(cur)).localCheckpoint(eager=False)
-        rounds += 1
-        sig = _checksum(cur)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    has_degenerate, has_upward = _scan_flags(edges0)
+    # O(E) fixpoint fast path (r7): an input that is already a canonical
+    # star forest — a re-run over committed labels, an incremental fold on
+    # an already-contracted base — needs NO contraction rounds; detecting
+    # that costs one map-only scan (above; any upward edge disqualifies
+    # immediately) plus, only for downward-pointing inputs, one keyed
+    # aggregation — instead of a full large+small round.  Run on the
+    # UNDEDUPED filtered input: a duplicated edge doubles its src's
+    # out-degree and fails the check, so a pass also proves the set is
+    # duplicate-free and the initial distinct (a full (src, dst)-keyed
+    # exchange) can be skipped outright (guide §2.4).
+    canonical = (not has_upward) and _is_canonical_star_forest(pre)
+    if canonical:
+        cur = pre
+    else:
+        # lazy checkpoint: the checksum right after materializes it, so
+        # each round runs ONE job (truncated lineage either way)
+        cur = pre.distinct().localCheckpoint(eager=False)
+        prev_sig = _checksum(cur)
+        for _ in range(max_iterations):
+            cur = small(large(cur)).localCheckpoint(eager=False)
+            rounds += 1
+            sig = _checksum(cur)
+            if sig == prev_sig:
+                # a multiset fixed point of small∘large is necessarily the
+                # canonical star forest: every small output points
+                # strictly down, and a non-canonical down-pointing set
+                # (out-degree > 1, or a node both src and dst) forces a
+                # strictly-larger witness chain under the round operator,
+                # which a finite graph cannot sustain — same trust level
+                # as the checksum convergence test itself (pinned against
+                # union-find by tests/test_properties.py).
+                canonical = True
+                break
+            prev_sig = sig
     if stats is not None:
         stats["rounds"] = rounds
+        stats["canonical"] = canonical
     # fixed point: every edge is (node -> component root)
     labels = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    roots = all_nodes.join(
-        labels.select(F.col("node")), "node", "left_anti"
-    ).select("node", F.col("node").alias("component"))
-    return labels.union(roots)
+    if canonical and not has_degenerate:
+        # canonical star forest with no self-loop / NULL-endpoint rows: the
+        # roots are EXACTLY distinct(dst) (a root never appears as src,
+        # every component's root appears as dst) — replaces the O(nodes)
+        # distinct over src∪dst plus the labels anti-join with one
+        # partial-agg distinct over the component ids (measured 3.6s ->
+        # 1.4s at 10^7 edges).  Self-loop-only and NULL-endpoint nodes are
+        # the cases distinct(dst) misses (both are dropped before
+        # contraction but surface in the all-nodes union); _scan_flags
+        # already answered that, and any hit falls back to the general path.
+        roots = cur.select(F.col("dst").alias("node")).distinct()
+    else:
+        all_nodes = (
+            edges0.select(F.col("src").alias("node"))
+            .union(edges0.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        roots = all_nodes.join(labels.select(F.col("node")), "node", "left_anti")
+    return labels.union(roots.select("node", F.col("node").alias("component")))

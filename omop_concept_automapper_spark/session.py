@@ -48,6 +48,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor (r7): with the default 1 MB floor, a stage
+        # whose shuffle input is a few MB still fans out into one tiny
+        # task per core (parallelismFirst targets defaultParallelism), and
+        # iterative operators (CC rounds, PageRank, BPE) spend more time
+        # scheduling micro-tasks than computing.  An 8 MB floor coalesces
+        # those stages to a handful of tasks while leaving any production-
+        # sized shuffle untouched — the size/parallelism target dominates
+        # as soon as a stage shuffles more than cores x 8 MB (256 MB at 32
+        # cores), so this is a latency guard, not a parallelism cap.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

@@ -83,6 +83,45 @@ def test_connected_components_basic(spark):
     assert labels[20] == 20
 
 
+def test_connected_components_canonical_fast_path(spark):
+    """r7: an input that is already a canonical star forest (members point
+    at their component minimum, out-degree 1, roots never a src) must be
+    detected by the O(E) fixpoint pre-check — zero contraction rounds —
+    and still label every node exactly like the general path."""
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (7, 5), (9, 5)], "src long, dst long"
+    )
+    stats = {}
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, stats=stats).collect()
+    }
+    assert stats["rounds"] == 0 and stats["canonical"] is True
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 5}
+
+    # same forest plus a self-loop-only node: the probe must reject the
+    # distinct(dst) shortcut and fall back to the exact all-nodes path
+    edges2 = spark.createDataFrame(
+        [(2, 1), (3, 1), (42, 42)], "src long, dst long"
+    )
+    labels2 = {
+        r["node"]: r["component"]
+        for r in connected_components(edges2).collect()
+    }
+    assert labels2 == {1: 1, 2: 1, 3: 1, 42: 42}
+
+    # near-canonical but NOT canonical (an edge pointing up): pre-check
+    # must refuse and contraction must still run to the right answer
+    edges3 = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    stats3 = {}
+    labels3 = {
+        r["node"]: r["component"]
+        for r in connected_components(edges3, stats=stats3).collect()
+    }
+    assert stats3["rounds"] >= 1
+    assert labels3 == {1: 1, 2: 1, 3: 1}
+
+
 def test_connected_components_star_and_chain(spark):
     # star around 100 plus a long chain to force multiple iterations
     rows = [(100, i) for i in range(101, 120)] + [

@@ -203,11 +203,12 @@ def test_cc_star_round_plan_shape(spark):
     def n_exchanges(plan):
         return len(re.findall(r"Exchange hashpartitioning", plan))
 
-    # join variant: mins agg + (join side may broadcast at this size) +
-    # distinct; window variant: window shuffle + distinct only
-    assert n_exchanges(win_plan) < n_exchanges(join_plan) or (
-        n_exchanges(win_plan) == 2
-    )
+    # r7: neither large-star variant carries a trailing distinct anymore
+    # (src > dst always holds and the consuming small star deduplicates) —
+    # the window variant is exactly ONE exchange (the window shuffle), and
+    # the join variant at most the mins-agg exchange beyond it
+    assert n_exchanges(win_plan) == 1, win_plan
+    assert "HashAggregate" not in win_plan  # no distinct after the window
     assert "SortMergeJoin" not in win_plan and "BroadcastHashJoin" not in win_plan
 
 
