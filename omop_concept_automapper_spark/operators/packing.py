@@ -91,10 +91,20 @@ def global_running_total(
             f"is {vtype} (cast fractional weights to fixed-point longs)"
         )
     part_cols = group_cols + list(order_cols)
+    # r7: snapshot the input once — repartitionByRange runs a separate
+    # boundary-SAMPLING pass before the exchange, so an un-cached input
+    # lineage (the corpus chain's quality+dedup+join, or a prior running
+    # total's window) would execute twice; the sampling pass materializes
+    # this cache and the exchange reads it back.
+    df = df.localCheckpoint(eager=False)
     # pin the layout: repartitionByRange re-samples its boundaries per job,
-    # and the partials job + the final window must agree on partition ids
+    # and the partials job + the final window must agree on partition ids.
+    # The checkpoint is LAZY (r7): the partials collect right below is the
+    # first action through it and materializes it — an eager checkpoint
+    # here cost one extra job per running total for the same guarantee
+    # (every later job reads the same cached RDD either way).
     staged = _range_stage(df, part_cols, num_partitions).localCheckpoint(
-        eager=True
+        eager=False
     )
 
     keys = ["_pid"] + group_cols

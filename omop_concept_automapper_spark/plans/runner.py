@@ -603,18 +603,21 @@ class Pipeline:
         dim_path = "full"
         appended_occ = None
         if not already_applied:
-            # detection runs ONCE (eager localCheckpoint): repartitionByRange
+            # detection runs ONCE (localCheckpoint): repartitionByRange
             # would otherwise re-run the detection UDF a second time for its
             # range sampling pass.  Small appends skip the range shuffle
             # entirely — their read-locality benefit is delivered by the
             # periodic compaction (which rewrites through the table layout)
             # and not worth two extra jobs per fold; large batches keep it.
+            # LAZY (r7): the count() right below is the first action and
+            # materializes the cache — an eager checkpoint cost one extra
+            # job per fold for the same pinning guarantee.
             with _job_description(
                 self.spark.sparkContext, "fold: detect occurrences (delta)"
             ):
                 new_occ = extract_mention_occurrences(
                     new_transcripts, surface_forms
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=False)
             if new_occ.count() >= int(
                 self.cfg.extra.get("range_partition_min_rows", 1_000_000)
             ):
@@ -659,8 +662,11 @@ class Pipeline:
                     # bucketed write), and without the checkpoint each pass
                     # re-plans and re-runs the salted-agg + dim-join chain
                     # (~half the 1% fold's fixed latency in the event-log
-                    # profile, r5 verdict #3)
-                    .localCheckpoint(eager=True)
+                    # profile, r5 verdict #3).  LAZY (r7): merge_upsert's
+                    # affected-bucket collect is the first action through
+                    # it and materializes the cache — eager cost one extra
+                    # job per fold.
+                    .localCheckpoint(eager=False)
                 )
             m_snap = m_tbl.merge_upsert(
                 merged_dim,
