@@ -89,11 +89,9 @@ def learn_bpe_merges(
     """
     if n_merges < 1 or min_count < 1:
         raise ValueError("need n_merges >= 1 and min_count >= 1")
-    # LAZY checkpoints throughout (r7): each round's argmax collect is the
-    # only action, and it materializes that round's (merged) word table as
-    # it runs — eager checkpoints cost a SECOND job per round (2 jobs ->
-    # 1, measured 6.7s -> ~4s on the 25-merge gate) while truncating the
-    # same lineage.
+    # The corpus-sized word count runs ONCE with the session's full AQE /
+    # partitioning posture and is pinned EAGERLY — everything after it is
+    # O(distinct words).
     words = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.explode(tokens_col(text_col)).alias("w"))
@@ -101,26 +99,50 @@ def learn_bpe_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", F.split("w", "").alias("s"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+    # r7: the merge loop is n_merges tiny, structurally identical queries
+    # over the bounded word table (<= ~10^7 distinct words on real text,
+    # i.e. <= ~1 GB — the module docstring's bound), so its reduce width
+    # is a property of the OPERATOR, not the corpus: 16 partitions keeps
+    # every reduce task under the usual 64 MB advisory at the vocabulary
+    # ceiling.  AQE is paused for the loop because it splits each round's
+    # single action into shuffle-stage + result jobs and re-plans between
+    # them — pure per-round latency on a loop this shape (measured 0.26s
+    # -> 0.15s per round); the merged word table rides each round's argmax
+    # collect via a LAZY checkpoint (one job per round total).
+    conf = docs.sparkSession.conf
+    import os as _os
+
+    loop_parts = _os.environ.get("SPARK_GRAFT_BPE_SHUFFLE_PARTITIONS", "16")
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = conf.get("spark.sql.shuffle.partitions", "200")
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (
-            words.where(F.size("s") >= 2)
-            .select("freq", F.explode(_adjacent_pairs(F.col("s"))).alias("p"))
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["c"] < min_count:
-            break
-        l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        merges.append((rank, l, r, c))
-        words = words.select(
-            "freq", _merge_pair(F.col("s"), l, r).alias("s")
-        ).localCheckpoint(eager=False)
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", loop_parts)
+    try:
+        for rank in range(1, n_merges + 1):
+            best = (
+                words.where(F.size("s") >= 2)
+                .select(
+                    "freq", F.explode(_adjacent_pairs(F.col("s"))).alias("p")
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["c"] < min_count:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, c))
+            words = words.select(
+                "freq", _merge_pair(F.col("s"), l, r).alias("s")
+            ).localCheckpoint(eager=False)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
     return merges
 
 

@@ -499,10 +499,12 @@ def duplicate_ngram_spans(
 
     Shape at scale (10^12 turns): the explode is O(total tokens) rows but
     map-local; the gram count is ONE groupBy with map-side partial
-    aggregation (+1 distinct shuffle for cross_doc); the dup-gram set
-    joins back gram-keyed (AQE broadcasts it when small, as it is on real
-    corpora where duplicated grams are a thin tail); span merging is a
-    per-document window — bounded state, keyed by the uniform doc id.
+    aggregation (+1 distinct shuffle for cross_doc), keyed on the
+    128-bit gram hash pair so it shuffles 16 bytes per gram instead of
+    the n-word text; the dup-gram set joins back hash-keyed (AQE
+    broadcasts it when small, as it is on real corpora where duplicated
+    grams are a thin tail); span merging is a per-document window —
+    bounded state, keyed by the uniform doc id.
     Documents shorter than ``n`` tokens participate as one whole-text
     gram (ngram_windows fallback) with span width = token count.
     """
@@ -513,6 +515,13 @@ def duplicate_ngram_spans(
     base = docs.where(F.col(text_col).isNotNull()).select(
         id_col, tokens_col(text_col).alias("_toks")
     )
+    # r7: the gram COUNT and the dup semi-join only need gram EQUALITY,
+    # never the gram text — key them on the 128-bit (xxhash64, seeded
+    # xxhash64) pair instead of the ~n-word string, so the groupBy and the
+    # join shuffle 16 bytes per gram instead of the text (guide §2.3:
+    # shuffle keys, not payloads).  Same two-column collision discipline
+    # as the mention keys (plans/mentions.py): a single 64-bit key would
+    # see birthday collisions at 10^10 grams and silently merge counts.
     g = base.select(
         id_col,
         F.size("_toks").alias("_len"),
@@ -523,19 +532,20 @@ def duplicate_ngram_spans(
         id_col,
         "_len",
         (F.col("_pos0") + 1).alias("_pos"),
-        "_gram",
+        F.xxhash64("_gram").alias("_gh1"),
+        F.xxhash64(F.lit(1), F.col("_gram")).alias("_gh2"),
     )
     if cross_doc:
         dup = (
-            g.select("_gram", id_col)
+            g.select("_gh1", "_gh2", id_col)
             .distinct()
-            .groupBy("_gram")
+            .groupBy("_gh1", "_gh2")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
     else:
-        dup = g.groupBy("_gram").agg(F.count(F.lit(1)).alias("_c"))
-    dup = dup.where(F.col("_c") >= min_count).select("_gram")
-    marked = g.join(dup, "_gram", "left_semi")
+        dup = g.groupBy("_gh1", "_gh2").agg(F.count(F.lit(1)).alias("_c"))
+    dup = dup.where(F.col("_c") >= min_count).select("_gh1", "_gh2")
+    marked = g.join(dup, ["_gh1", "_gh2"], "left_semi")
     width = F.least(F.lit(n), F.col("_len"))
     w = Window.partitionBy(id_col).orderBy("_pos")
     flagged = marked.select(

@@ -277,10 +277,15 @@ def k_hop(
     if k < 0:
         raise ValueError("k must be >= 0")
     edges = _bidir(pairs, src, dst)
+    # LAZY checkpoints (r7): each round's take(1) probe is the action that
+    # materializes the new frontier — the eager form paid a dedicated
+    # checkpoint job per round on top of the probe.  The visited union is
+    # a union of already-cached checkpoints (map-only to materialize), so
+    # it rides the next round's probe / the final consumer.
     visited = (
         sources.select(F.col("node"), F.lit(0).alias("dist"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited.select("node")
     for d in range(1, k + 1):
@@ -290,11 +295,11 @@ def k_hop(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(d))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return visited
 
