@@ -8,12 +8,22 @@ Kiveris et al. "Connected Components in MapReduce and Beyond" two-phase
 star contraction — O(log n) rounds, each round pure DataFrame ops).
 
 Scale notes:
-* every round's star phase is mins-agg (map-side partial combine — a hot
-  hub compresses to one row per map partition) + join (AQE skew-split
-  handles the hub's raw rows) + distinct.  Measured on a 10^6-degree hub
-  at local[8]: this join shape beats the 1-shuffle window alternative
-  below 0.85s vs 1.36s, because AQE splits the skewed join side while a
-  window pins the whole hub group to one task;
+* per round (r7 inventory): large star = mins-agg (map-side partial
+  combine — a hot hub compresses to one row per map partition) + join
+  (AQE skew-split handles the hub's raw rows), NO trailing distinct (its
+  output is strictly src > dst and small star deduplicates); small star =
+  one src-keyed repartition shared by its mins-agg and join (the exchange
+  doubles as the materialization barrier for the distinct-less large
+  output) + the round's single distinct.  Measured at 10^7 edges with a
+  2x10^6-degree hub: 10.9s -> 7.2s per round vs the r6 shape;
+* an O(E) fixpoint fast path (one map-only scan + one keyed aggregation)
+  detects inputs that are ALREADY canonical star forests — re-runs over
+  committed labels, incremental folds on contracted bases — and skips
+  contraction, the initial distinct, and the all-nodes anti-join
+  entirely (roots are then just distinct(dst));
+* the measured join-vs-window trade-off below still holds per phase:
+  AQE splits the skewed join side while a window pins the whole hub
+  group to one task;
 * ``star_impl="window"`` selects that alternative — per-src min via
   ``min over (partition by src)``: one shuffle per star instead of two and
   no O(nodes) mins side at all (~15% faster on balanced graphs, tested

@@ -276,7 +276,11 @@ def k_hop(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    edges = _bidir(pairs, src, dst)
+    # snapshot the (possibly expensive — e.g. a co-occurrence self-join)
+    # edge derivation ONCE: every BFS round's frontier join consumes it,
+    # and without the checkpoint each round re-executes the upstream
+    # pipeline (r7; same discipline as pagerank/label_propagation)
+    edges = _bidir(pairs, src, dst).localCheckpoint(eager=False)
     # LAZY checkpoints (r7): each round's take(1) probe is the action that
     # materializes the new frontier — the eager form paid a dedicated
     # checkpoint job per round on top of the probe.  The visited union is
