@@ -154,15 +154,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_sum"))
         )
-        # left join keeps isolated-in-this-direction nodes (none when the
-        # graph is undirected, but the primitive stays correct for any
-        # caller that passes a directed pair list)
-        ranks = nodes.join(contribs, "node", "left").select(
+        # no nodes re-join (r7): ``edges`` is ALWAYS the bidirected list
+        # (built unconditionally above), so every node of the graph has at
+        # least one in-edge — its own reversed edge — and ``contribs``
+        # covers the full node set every iteration.  The former
+        # ``nodes.join(contribs, "node", "left")`` was therefore an
+        # identity (its coalesce branch unreachable) costing one extra
+        # join per iteration (guide §2.4).
+        ranks = contribs.select(
             "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-            ).alias("rank"),
+            (F.lit(base) + F.lit(damping) * F.col("in_sum")).alias("rank"),
         )
         # checkpoint every k-th iteration, not every one: each snapshot is
         # a materialization barrier (a whole job at small scale), while the
@@ -357,13 +358,12 @@ def label_propagation(
             )
             .select("node", (-F.col("w.nl")).alias("_new_label"))
         )
-        # left join keeps nodes with no in-neighbors when a caller passes
-        # a directed list (impossible after _bidir, but the primitive
-        # stays correct)
-        labels = labels.join(winners, "node", "left").select(
-            "node",
-            F.coalesce("_new_label", "label").alias("label"),
-        )
+        # no labels re-join (r7): ``edges`` is always the bidirected list,
+        # so every node has at least one in-neighbor (its own reversed
+        # edge) and ``winners`` covers the full node set — the former
+        # ``labels.join(winners, "node", "left")`` was an identity (its
+        # coalesce branch unreachable) costing one join per round.
+        labels = winners.select("node", F.col("_new_label").alias("label"))
         if checkpoint and (it + 1) % checkpoint_interval == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
