@@ -44,18 +44,41 @@ def detect_mentions_py(text: str, pattern, canon) -> list[str]:
     return sorted(found)
 
 
+# Per-process compile caches (r7): this module is shipped to executors and
+# imported there, so its globals survive across tasks in a REUSED python
+# worker (spark.python.worker.reuse, guide §4.5) — without the cache every
+# query execution recompiled the alternation regex / 20k-form token index
+# once per worker.  Keyed on the form tuple; one live entry is enough (the
+# pipeline runs one lexicon at a time).
+_REGEX_CACHE: dict = {}
+_GAZ_CACHE: dict = {}
+
+
+def _cached(cache: dict, key, build):
+    got = cache.get(key)
+    if got is None:
+        got = build()
+        cache.clear()
+        cache[key] = got
+    return got
+
+
 def make_mention_detector(surface_forms: list[str]):
     """Build a scalar-iterator pandas UDF: text -> array<string> of mentions.
 
     Scalar-iterator form so the regex is compiled once per python worker,
-    not once per batch.  (Python-kernel path; the hot pipeline uses
-    ``jvm_mention_detector`` below — same semantics, tested equivalent.)
+    not once per batch — and cached at module level so a reused worker
+    keeps it across tasks and queries.  (Python-kernel path; the hot
+    pipeline uses ``jvm_mention_detector`` below — same semantics, tested
+    equivalent.)
     """
-    forms = list(surface_forms)
+    forms = tuple(surface_forms)
 
     @F.pandas_udf(ArrayType(StringType()))
     def detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        pattern, canon = compile_lexicon(forms)
+        pattern, canon = _cached(
+            _REGEX_CACHE, forms, lambda: compile_lexicon(list(forms))
+        )
         for texts in batches:
             yield texts.map(lambda t: detect_mentions_py(t, pattern, canon))
 
@@ -117,12 +140,18 @@ def detect_mentions_tokens(text: str, heads, canon) -> list[str]:
 
 
 def make_token_mention_detector(surface_forms: list[str]):
-    """Pandas UDF over the token gazetteer (large-lexicon scale path)."""
-    forms = list(surface_forms)
+    """Pandas UDF over the token gazetteer (large-lexicon scale path).
+
+    The index build is O(lexicon) (~100 ms at 20k forms) and cached at
+    module level, so a reused worker pays it once per lexicon, not once
+    per task/query (guide §4.5)."""
+    forms = tuple(surface_forms)
 
     @F.pandas_udf(ArrayType(StringType()))
     def detect(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        heads, canon = compile_token_gazetteer(forms)
+        heads, canon = _cached(
+            _GAZ_CACHE, forms, lambda: compile_token_gazetteer(list(forms))
+        )
         for texts in batches:
             yield texts.map(lambda t: detect_mentions_tokens(t, heads, canon))
 

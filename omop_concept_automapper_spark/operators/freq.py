@@ -183,10 +183,16 @@ def exact_quantiles(
             f"exact_quantiles needs an integral value_col; {value_col} is "
             f"{vtype} (quantize floats to fixed-point first)"
         )
+    # r7: snapshot the distribution once — it feeds BOTH the running total
+    # and the per-group totals, and without the checkpoint the corpus
+    # scan + aggregation executed once per consumer.  The cache is bounded
+    # by the distribution's cardinality (the operator's stated size bound),
+    # never by the row count.
     dist = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*groups, value_col)
         .agg(F.count("*").alias("_cnt"))
+        .localCheckpoint(eager=False)
     )
     # values are distinct within a group after the groupBy, so value_col
     # itself is the required total order
