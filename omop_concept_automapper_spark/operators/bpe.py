@@ -110,7 +110,10 @@ def learn_bpe_merges(
     # single action into shuffle-stage + result jobs and re-plans between
     # them — pure per-round latency on a loop this shape (measured 0.26s
     # -> 0.15s per round); the merged word table rides each round's argmax
-    # collect via a LAZY checkpoint (one job per round total).
+    # collect via a LAZY checkpoint (one job per round total).  Note the
+    # conf switch is session-visible for the loop's duration (restored in
+    # the finally) — callers running concurrent queries on the same
+    # session should not interleave them with a BPE learn.
     conf = docs.sparkSession.conf
     import os as _os
 
