@@ -1100,6 +1100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = emb.select(
             F.col("vec_id").alias("o_id"), F.col("label").alias("o_label")
         )
+        # The true-edge table feeds three consumers (negative sampling,
+        # the candidate union's positive side, the label join) — snapshot
+        # it once (lazy; negatives' candidate-count action materializes
+        # it) so the label self-join + groupBy doesn't run per consumer.
         edges = (
             s.join(
                 o,
@@ -1108,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .groupBy("subj", "s_label")
             .agg(F.min("o_id").alias("obj"))
+            .localCheckpoint(eager=False)
         )
         negs = kg_negative_samples(edges.select("subj", "obj"), n_neg=5)
         cands = (

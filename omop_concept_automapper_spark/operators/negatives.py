@@ -67,7 +67,17 @@ def kg_negative_samples(
 
     if n_neg <= 0:
         raise ValueError("n_neg must be positive")
-    e = edges.select(subj_col, obj_col).na.drop().distinct()
+    # The deduped edge set feeds THREE consumers (the candidate
+    # vocabulary, the draw explode, and the filtered anti-join's right
+    # side) plus the n_candidates scalar action below — snapshot it once
+    # (lazy; the scalar action materializes it) so the caller's edge
+    # derivation doesn't re-execute per consumer.
+    e = (
+        edges.select(subj_col, obj_col)
+        .na.drop()
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     cand = e.select(obj_col).distinct()
     # 1-based dense index without a single-partition window: each distinct
     # object contributes 1, the running total over obj-order IS the index
