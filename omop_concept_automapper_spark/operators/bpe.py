@@ -73,11 +73,53 @@ def _merge_pair(s: Column, left: str, right: str) -> Column:
     return F.aggregate(s, init, step)
 
 
+def _merge_loop_local(
+    word_items: list[tuple[int, list[str]]],
+    n_merges: int,
+    min_count: int,
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over an in-memory (freq, symbols) word table.
+
+    Shared by :func:`sequential_bpe_merges` (the golden oracle) and the
+    small-vocabulary fast path of :func:`learn_bpe_merges`, so the two
+    paths cannot diverge: same (count DESC, left, right) tie order (Python
+    code-point string comparison == Spark/DuckDB binary UTF-8 order), same
+    leftmost non-overlapping merge, same ``min_count`` early stop."""
+    syms = [list(s) for _, s in word_items]
+    freqs = [f for f, _ in word_items]
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for f, s in zip(freqs, syms):
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        out.append((rank, l, r, int(c)))
+        for j, s in enumerate(syms):
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[j] = ns
+    return out
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_count: int = 2,
+    local_threshold_symbols: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn up to ``n_merges`` BPE merges over the corpus.
 
@@ -101,6 +143,37 @@ def learn_bpe_merges(
         .select("freq", F.split("w", "").alias("s"))
         .localCheckpoint(eager=True)
     )
+    # r7: BPE is sequential per merge, so a round's distributed cost is
+    # pure scheduler latency once the DISTINCT-WORD table is small — and
+    # that table is bounded by the language's vocabulary, not the corpus
+    # (a 100-TB corpus over a bounded word list still compresses to the
+    # same few hundred rows here; real open-vocabulary text saturates
+    # ~10^7).  Below a SYMBOL-COUNT threshold (bytes of loop state, not a
+    # core count; ``SPARK_GRAFT_BPE_LOCAL_SYMBOLS``, default 262144 ≈ the
+    # break-even where a Python round matches one round's job latency)
+    # the merge loop runs on the driver over the SPARK-COMPUTED word
+    # table via the same ``_merge_loop_local`` the sequential oracle
+    # uses — identical by construction, one collect of the bounded
+    # vocabulary instead of n_merges scheduled jobs.  The corpus-sized
+    # word count above is distributed either way.
+    if local_threshold_symbols is None:
+        import os as _os
+
+        local_threshold_symbols = int(
+            _os.environ.get("SPARK_GRAFT_BPE_LOCAL_SYMBOLS", "262144")
+        )
+    if local_threshold_symbols > 0:
+        stats = words.agg(
+            F.sum(F.size("s")).alias("n_sym")
+        ).collect()[0]
+        if (stats["n_sym"] or 0) <= local_threshold_symbols:
+            items = [
+                (int(row["freq"]), list(row["s"]))
+                for row in words.select("freq", "s").collect()
+            ]
+            # deterministic regardless of partition layout: the loop's
+            # counts/argmax are order-independent, so no sort is needed
+            return _merge_loop_local(items, n_merges, min_count)
     # r7: the merge loop is n_merges tiny, structurally identical queries
     # over the bounded word table (<= ~10^7 distinct words on real text,
     # i.e. <= ~1 GB — the module docstring's bound), so its reduce width
@@ -167,30 +240,6 @@ def sequential_bpe_merges(
             continue
         for w in t.lower().split():
             words[w] += 1
-    syms = {w: list(w) for w in words}
-    out: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        counts: Counter = Counter()
-        for w, s in syms.items():
-            f = words[w]
-            for a, b in zip(s, s[1:]):
-                counts[(a, b)] += f
-        if not counts:
-            break
-        (l, r), c = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if c < min_count:
-            break
-        out.append((rank, l, r, int(c)))
-        for w, s in syms.items():
-            ns, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
-                    ns.append(l + r)
-                    i += 2
-                else:
-                    ns.append(s[i])
-                    i += 1
-            syms[w] = ns
-    return out
+    return _merge_loop_local(
+        [(f, list(w)) for w, f in words.items()], n_merges, min_count
+    )
