@@ -149,18 +149,21 @@ def learn_bpe_merges(
     # (a 100-TB corpus over a bounded word list still compresses to the
     # same few hundred rows here; real open-vocabulary text saturates
     # ~10^7).  Below a SYMBOL-COUNT threshold (bytes of loop state, not a
-    # core count; ``SPARK_GRAFT_BPE_LOCAL_SYMBOLS``, default 262144 ≈ the
-    # break-even where a Python round matches one round's job latency)
-    # the merge loop runs on the driver over the SPARK-COMPUTED word
-    # table via the same ``_merge_loop_local`` the sequential oracle
-    # uses — identical by construction, one collect of the bounded
-    # vocabulary instead of n_merges scheduled jobs.  The corpus-sized
-    # word count above is distributed either way.
+    # core count; ``SPARK_GRAFT_BPE_LOCAL_SYMBOLS``) the merge loop runs
+    # on the driver over the SPARK-COMPUTED word table via the same
+    # ``_merge_loop_local`` the sequential oracle uses — identical by
+    # construction, one collect of the bounded vocabulary instead of
+    # n_merges scheduled jobs.  The corpus-sized word count above is
+    # distributed either way.  Default 2^20 symbols: measured at a
+    # 60k-word / 3.9x10^5-symbol vocabulary the local loop is still 3.5x
+    # faster than the distributed rounds (a Python round costs
+    # ~0.4 s/10^6 symbols vs ~0.75 s of scheduled-job latency), and 10^6
+    # symbols is ~10^2 MB of driver lists — comfortably bounded.
     if local_threshold_symbols is None:
         import os as _os
 
         local_threshold_symbols = int(
-            _os.environ.get("SPARK_GRAFT_BPE_LOCAL_SYMBOLS", "262144")
+            _os.environ.get("SPARK_GRAFT_BPE_LOCAL_SYMBOLS", "1048576")
         )
     if local_threshold_symbols > 0:
         stats = words.agg(
